@@ -1,0 +1,34 @@
+"""grayskull-tpu: a TPU-native, batched grayscale computer-vision framework.
+
+A from-scratch JAX/Pallas re-design of the capabilities of zserge/grayskull
+(a single-header C99 CV library for microcontrollers): dense pixel ops, connected
+components, contour tracing, FAST/ORB/BRIEF features, template matching, integral
+images and LBP cascade detection — engineered for TPU: uint8 NHW frame batches,
+fused jit pipelines, Pallas VMEM kernels for the hot paths, and ``jax.sharding``
+meshes for multi-chip scaling.
+
+Typical use::
+
+    import grayskull_tpu as gs
+    img = gs.io.read_pgm("frame.pgm")           # (H, W) uint8 numpy
+    out = gs.threshold(gs.blur(img, 2), gs.otsu_threshold(gs.blur(img, 2)))
+
+Dense ops are bit-exact versus the C reference semantics (truncating integer
+division, unsigned wraparound, float32 truncation); see tests/ for the
+differential harness.
+"""
+
+from . import core, io, ops  # noqa: F401
+from .core import (  # noqa: F401
+    Blobs,
+    Contour,
+    Keypoints,
+    LbpCascade,
+    Matches,
+    Point,
+    Rect,
+    Rects,
+)
+from .ops import *  # noqa: F401,F403
+
+__version__ = "0.1.0"

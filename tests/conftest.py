@@ -1,0 +1,70 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices so multi-chip sharding paths execute without
+TPU hardware (the environment's default backend may be a single tunneled TPU chip).
+The env vars must be set before JAX initializes its backends, which happens lazily —
+so this module sets them at import time, before any jax computation runs.
+"""
+
+import os
+
+# Force 8 virtual CPU devices for mesh tests.  Appended (not overwritten) so any
+# driver-provided flags survive.
+_flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+# The sandbox registers an experimental TPU backend as the default platform and
+# pins JAX_PLATFORMS; CPU devices are still available, so route everything there
+# (unit tests must not burn TPU compiles, and sharding tests need 8 devices).
+_cpu0 = jax.devices("cpu")[0]
+jax.config.update("jax_default_device", _cpu0)
+
+REFERENCE_DIR = os.environ.get("GRAYSKULL_REF", "/root/reference")
+
+
+def cpu_devices(n=None):
+    devs = jax.devices("cpu")
+    return devs if n is None else devs[:n]
+
+
+@pytest.fixture(scope="session")
+def ref_dir():
+    if not os.path.isdir(REFERENCE_DIR):
+        pytest.skip("reference checkout not available")
+    return REFERENCE_DIR
+
+
+@pytest.fixture(scope="session")
+def oracle():
+    """Compiled C reference oracle (ctypes).  Skips if unavailable."""
+    from . import oracle as oracle_mod
+
+    orc = oracle_mod.load(REFERENCE_DIR)
+    if orc is None:
+        pytest.skip("C oracle unavailable (no reference checkout or no C compiler)")
+    return orc
+
+
+@pytest.fixture(scope="session")
+def testdata(ref_dir):
+    """Dict of name -> (H, W) uint8 for the reference's PGM test images."""
+    import grayskull_tpu.io as gio
+
+    out = {}
+    tdir = os.path.join(ref_dir, "testdata")
+    for fn in sorted(os.listdir(tdir)):
+        if fn.endswith(".pgm"):
+            img = gio.read_pgm(os.path.join(tdir, fn))
+            assert img is not None, fn
+            out[fn[:-4]] = img
+    return out
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
