@@ -23,8 +23,16 @@ from .pixel import (  # noqa: F401
     threshold,
 )
 from .histogram import histogram, otsu_threshold  # noqa: F401
+from .integral import integral, integral_sum  # noqa: F401
+from .template import find_best_match, match_template  # noqa: F401
+from .warp import perspective_correct  # noqa: F401
 
 __all__ = [
+    "find_best_match",
+    "integral",
+    "integral_sum",
+    "match_template",
+    "perspective_correct",
     "BLUR_BOX_KERNEL",
     "BLUR_GAUSSIAN_KERNEL",
     "EMBOSS_KERNEL",

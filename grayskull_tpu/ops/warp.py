@@ -1,0 +1,90 @@
+"""Perspective correction — ``gs_perspective_correct``
+(/root/reference/grayskull.h:423-444).
+
+Faithfulness note (also in the reference): this is a **bilinear quad warp**, not a
+true homography — destination (u, v) interpolates linearly between the top edge
+c0→c1 and bottom edge c3→c2.  Float math is float32 in the reference's exact
+operation order; sums of same-kernel products go through the contraction-proof
+exact f32 adder (see exactf32.py), and the final store truncates toward zero like
+the C uint8 cast.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..exactf32 import f32_add, f32_sum4
+
+__all__ = ["perspective_correct"]
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def _perspective_correct(src: jnp.ndarray, corners: jnp.ndarray, size) -> jnp.ndarray:
+    sh, sw = src.shape[-2:]
+    dh, dw = size
+    c = corners.astype(jnp.float32)  # (4, 2) as (x, y); order TL, TR, BR, BL
+    one = jnp.float32(1.0)
+
+    # u = x / (dst.w - 1), v = y / (dst.h - 1): static grids, computed host-side in
+    # numpy f32 so XLA cannot rewrite the division (grayskull.h:425-427).
+    u = jnp.asarray(np.arange(dw, dtype=np.float32) / np.float32(dw - 1.0))
+    v = jnp.asarray(np.arange(dh, dtype=np.float32) / np.float32(dh - 1.0))
+
+    def edge(p0, p1):
+        # p0 * (1 - u) + p1 * u, exact f32 add of the two products
+        return f32_add(p0 * (one - u), p1 * u)
+
+    top_x = edge(c[0, 0], c[1, 0])  # (dw,)
+    top_y = edge(c[0, 1], c[1, 1])
+    bot_x = edge(c[3, 0], c[2, 0])
+    bot_y = edge(c[3, 1], c[2, 1])
+
+    vv = v[:, None]
+    src_x = f32_add(top_x[None, :] * (one - vv), bot_x[None, :] * vv)  # (dh, dw)
+    src_y = f32_add(top_y[None, :] * (one - vv), bot_y[None, :] * vv)
+    src_x = jnp.maximum(jnp.float32(0.0), jnp.minimum(src_x, jnp.float32(sw) - one))
+    src_y = jnp.maximum(jnp.float32(0.0), jnp.minimum(src_y, jnp.float32(sh) - one))
+
+    x0 = src_x.astype(jnp.int32)  # truncation, values >= 0
+    y0 = src_y.astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, sw - 1)
+    y1 = jnp.minimum(y0 + 1, sh - 1)
+    dx = src_x - x0.astype(jnp.float32)
+    dy = src_y - y0.astype(jnp.float32)
+
+    def gather(yi, xi):
+        return src[..., yi, xi].astype(jnp.float32)
+
+    c00 = gather(y0, x0)
+    c01 = gather(y0, x1)
+    c10 = gather(y1, x0)
+    c11 = gather(y1, x1)
+    # ((c00*(1-dx))*(1-dy)) + ((c01*dx)*(1-dy)) + ((c10*(1-dx))*dy) + ((c11*dx)*dy)
+    t1 = (c00 * (one - dx)) * (one - dy)
+    t2 = (c01 * dx) * (one - dy)
+    t3 = (c10 * (one - dx)) * dy
+    t4 = (c11 * dx) * dy
+    return f32_sum4(t1, t2, t3, t4).astype(jnp.uint8)
+
+
+def perspective_correct(src: jnp.ndarray, corners, size) -> jnp.ndarray:
+    """Warp the quad ``corners`` (TL, TR, BR, BL as (x, y) rows) to a ``size=(h, w)``
+    rectangle — ``gs_perspective_correct`` (grayskull.h:423-444).
+
+    ``corners`` may be a traced (4, 2) array (e.g. straight from
+    :func:`grayskull_tpu.ops.blobs.blob_corners`), keeping the whole document-scan
+    pipeline on device.
+    """
+    corners = jnp.asarray(corners)
+    if corners.shape[-2:] != (4, 2):
+        raise ValueError(f"corners must be (4, 2) (x, y) rows, got {corners.shape}")
+    size = (int(size[0]), int(size[1]))
+    if src.ndim == 3:
+        if corners.ndim == 2:
+            corners = jnp.broadcast_to(corners, (src.shape[0], 4, 2))
+        return jax.vmap(lambda im, cc: _perspective_correct(im, cc, size))(src, corners)
+    return _perspective_correct(src, corners, size)

@@ -1,0 +1,127 @@
+"""Unit + parity tests for integral image, template matching, perspective warp."""
+
+import numpy as np
+import pytest
+
+import grayskull_tpu as gs
+
+W = 255
+
+
+def rand_img(rng, h, w):
+    return rng.integers(0, 256, (h, w), dtype=np.uint8)
+
+
+# --- integral ---------------------------------------------------------------
+
+
+def test_integral_small():
+    img = np.arange(1, 10, dtype=np.uint8).reshape(3, 3)
+    ii = np.asarray(gs.integral(img))
+    assert ii.tolist() == [[1, 3, 6], [5, 12, 21], [12, 27, 45]]
+    assert int(gs.integral_sum(gs.integral(img), 1, 1, 2, 2)) == 28
+
+
+def test_integral_parity(oracle, rng):
+    for size in [(1, 1), (5, 7), (64, 48), (480, 640)]:
+        img = rand_img(rng, *size)
+        assert np.array_equal(np.asarray(gs.integral(img)), oracle.integral(img))
+
+
+def test_integral_sum_parity(oracle, rng):
+    img = rand_img(rng, 32, 40)
+    ii = np.asarray(gs.integral(img))
+    for (x, y, w, h) in [(0, 0, 1, 1), (0, 0, 40, 32), (5, 7, 10, 3), (39, 31, 1, 1)]:
+        assert int(gs.integral_sum(ii, x, y, w, h)) == oracle.integral_sum(ii, x, y, w, h)
+
+
+def test_integral_sum_vectorized(oracle, rng):
+    img = rand_img(rng, 16, 16)
+    ii = np.asarray(gs.integral(img))
+    xs = np.arange(8)
+    ys = np.arange(8)
+    ours = np.asarray(gs.integral_sum(ii, xs, ys, 3, 3))
+    for i in range(8):
+        assert ours[i] == oracle.integral_sum(ii, int(xs[i]), int(ys[i]), 3, 3)
+
+
+# --- template matching ------------------------------------------------------
+
+
+def test_template_exact_match():
+    img = np.zeros((5, 5), np.uint8)
+    patch = np.array([[100, 150, 200], [125, 175, 225], [110, 160, 210]], np.uint8)
+    img[1:4, 1:4] = patch
+    res = np.asarray(gs.match_template(img, patch))
+    x, y = gs.find_best_match(res)
+    assert (int(x), int(y)) == (1, 1)
+    assert res[1, 1] == 255
+
+
+def test_template_bright_square():
+    img = np.full((4, 4), 50, np.uint8)
+    img[1:3, 1:3] = W
+    tmpl = np.full((2, 2), W, np.uint8)
+    res = np.asarray(gs.match_template(img, tmpl))
+    x, y = gs.find_best_match(res)
+    assert (int(x), int(y)) == (1, 1)
+
+
+@pytest.mark.parametrize("isize,tsize", [((8, 8), (3, 3)), ((32, 24), (5, 9)),
+                                         ((64, 64), (16, 16)), ((40, 40), (40, 40)),
+                                         ((300, 300), (257, 255))])
+def test_template_parity(oracle, rng, isize, tsize):
+    img = rand_img(rng, *isize)
+    tmpl = rand_img(rng, *tsize)
+    ours = np.asarray(gs.match_template(img, tmpl))
+    ref = oracle.match_template(img, tmpl)
+    assert np.array_equal(ours, ref), (np.argwhere(ours != ref)[:3],)
+    assert tuple(int(v) for v in gs.find_best_match(ours)) == oracle.find_best_match(ref)
+
+
+def test_template_near_duplicate_tiebreak(oracle):
+    # two identical best placements: first in scan order must win
+    img = np.zeros((6, 10), np.uint8)
+    img[1:3, 1:3] = 200
+    img[1:3, 6:8] = 200
+    tmpl = np.full((2, 2), 200, np.uint8)
+    res = np.asarray(gs.match_template(img, tmpl))
+    ours = tuple(int(v) for v in gs.find_best_match(res))
+    assert ours == oracle.find_best_match(oracle.match_template(img, tmpl))
+
+
+# --- perspective ------------------------------------------------------------
+
+
+def corners_arr(tl, tr, br, bl):
+    return np.array([tl, tr, br, bl], np.int32)
+
+
+def test_perspective_identity_quad(oracle, rng):
+    img = rand_img(rng, 20, 30)
+    c = corners_arr((0, 0), (29, 0), (29, 19), (0, 19))
+    ours = np.asarray(gs.perspective_correct(img, c, (20, 30)))
+    ref = oracle.perspective_correct(img, c, 20, 30)
+    assert np.array_equal(ours, ref)
+
+
+@pytest.mark.parametrize("trial", range(5))
+def test_perspective_random_quads_parity(oracle, rng, trial):
+    img = rand_img(rng, 48, 64)
+    xs = rng.integers(0, 64, 4)
+    ys = rng.integers(0, 48, 4)
+    c = np.stack([xs, ys], axis=1).astype(np.int32)
+    size = (int(rng.integers(4, 100)), int(rng.integers(4, 100)))
+    ours = np.asarray(gs.perspective_correct(img, c, size))
+    ref = oracle.perspective_correct(img, c, *size)
+    assert np.array_equal(ours, ref), np.argwhere(ours != ref)[:5]
+
+
+def test_perspective_document_scan_quad(oracle, testdata):
+    img = testdata["document"]
+    h, w = img.shape
+    c = corners_arr((int(w * 0.1), int(h * 0.15)), (int(w * 0.9), int(h * 0.1)),
+                    (int(w * 0.85), int(h * 0.9)), (int(w * 0.12), int(h * 0.88)))
+    ours = np.asarray(gs.perspective_correct(img, c, (1000, 800)))
+    ref = oracle.perspective_correct(img, c, 1000, 800)
+    assert np.array_equal(ours, ref), np.argwhere(ours != ref)[:5]
