@@ -23,11 +23,17 @@ from .pixel import (  # noqa: F401
     threshold,
 )
 from .histogram import histogram, otsu_threshold  # noqa: F401
+from .blobs import blob_corners, blobs, label_components  # noqa: F401
+from .contour import trace_contour  # noqa: F401
 from .integral import integral, integral_sum  # noqa: F401
 from .template import find_best_match, match_template  # noqa: F401
 from .warp import perspective_correct  # noqa: F401
 
 __all__ = [
+    "blob_corners",
+    "blobs",
+    "label_components",
+    "trace_contour",
     "find_best_match",
     "integral",
     "integral_sum",

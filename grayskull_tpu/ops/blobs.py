@@ -1,0 +1,205 @@
+"""Connected components and blob analytics — ``gs_blobs`` / ``gs_blob_corners``
+(/root/reference/grayskull.h:322-421).
+
+The reference does a two-pass union-find with raster-order label creation.  That is
+pointer-chasing — hostile to a vector machine — so the TPU formulation is an
+iterative **min-index label propagation with pointer jumping** (O(log D) sweeps of
+dense vector ops), followed by a relabeling step that reconstructs the reference's
+exact creation-order label numbering:
+
+* a *seed* is a foreground pixel with no foreground left/top neighbor — exactly the
+  pixels where the C code allocates a fresh label (grayskull.h:347-351);
+* the union step always merges into the smaller root (grayskull.h:363), so a
+  component's final C label is the creation rank of its first raster-order seed —
+  which is the component's minimum raster index.
+
+Hence: component representative = min raster index (what propagation computes),
+label = rank of that position among all seeds.  Bit-exact vs the C oracle whenever
+the number of seeds fits ``max_blobs`` (the C behavior past capacity — silently
+skipping pixels mid-scan, grayskull.h:348 — is a degenerate mode we do not mirror;
+``Blobs.overflowed`` flags it).
+
+Foreground is ``pixel >= 128`` (grayskull.h:342).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..core import Blobs, Point, Rect
+
+__all__ = ["blobs", "label_components", "blob_corners"]
+
+
+def _neighbor_min(L, fg, big):
+    """Min of own and 4-neighbor labels over foreground pixels."""
+    h, w = L.shape
+    out = L
+    left = jnp.concatenate([jnp.full((h, 1), big, L.dtype), L[:, :-1]], axis=1)
+    right = jnp.concatenate([L[:, 1:], jnp.full((h, 1), big, L.dtype)], axis=1)
+    up = jnp.concatenate([jnp.full((1, w), big, L.dtype), L[:-1, :]], axis=0)
+    down = jnp.concatenate([L[1:, :], jnp.full((1, w), big, L.dtype)], axis=0)
+    out = jnp.minimum(out, jnp.minimum(jnp.minimum(left, right), jnp.minimum(up, down)))
+    return jnp.where(fg, out, big)
+
+
+@jax.jit
+def label_components(img: jnp.ndarray) -> jnp.ndarray:
+    """Label 4-connected components of ``img >= 128``.
+
+    Returns an int32 (H, W) map: background = -1, foreground = min raster index of
+    the pixel's component.  Converges via neighbor-min + pointer jumping inside a
+    ``lax.while_loop`` (data-dependent iteration count, compiler-friendly body).
+    """
+    h, w = img.shape
+    big = jnp.int32(h * w)
+    fg = img >= 128
+    idx = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    L0 = jnp.where(fg, idx, big)
+
+    def body(state):
+        L, _ = state
+        Ln = _neighbor_min(L, fg, big)
+        # pointer jump: follow the current pointer one hop (L[L[p]])
+        flat = L.reshape(-1)
+        tgt = jnp.clip(Ln.reshape(-1), 0, h * w - 1)
+        Lj = jnp.where(Ln.reshape(-1) < big, flat[tgt], big).reshape(h, w)
+        Ln2 = jnp.minimum(Ln, Lj)
+        # second jump accelerates long chains
+        tgt2 = jnp.clip(Ln2.reshape(-1), 0, h * w - 1)
+        Lj2 = jnp.where(Ln2.reshape(-1) < big, flat[tgt2], big).reshape(h, w)
+        Ln3 = jnp.minimum(Ln2, Lj2)
+        changed = jnp.any(Ln3 != L)
+        return Ln3, changed
+
+    def cond(state):
+        return state[1]
+
+    L, _ = jax.lax.while_loop(cond, body, (L0, jnp.bool_(True)))
+    return jnp.where(fg, L, jnp.int32(-1))
+
+
+@functools.partial(jax.jit, static_argnames=("max_blobs",))
+def blobs(img: jnp.ndarray, max_blobs: int):
+    """Connected components with stats — ``gs_blobs`` (grayskull.h:330-402).
+
+    Returns ``(blobs_table, labels)`` where ``labels`` is the uint16 creation-order
+    label map (0 = background) and ``blobs_table`` is a :class:`~grayskull_tpu.core.Blobs`
+    fixed-capacity struct-of-arrays table in the reference's compaction order
+    (ascending creation label).  ``blobs_table.n`` is the valid count.
+    """
+    h, w = img.shape
+    cap = int(max_blobs)
+    big = jnp.int32(h * w)
+    fg = img >= 128
+    rep = label_components(img)  # -1 background, else min raster index
+
+    # seeds: fg with no fg left/top neighbor (where C allocates labels)
+    fg_left = jnp.concatenate([jnp.zeros((h, 1), bool), fg[:, :-1]], axis=1)
+    fg_top = jnp.concatenate([jnp.zeros((1, w), bool), fg[:-1, :]], axis=0)
+    seed = fg & ~fg_left & ~fg_top
+
+    seed_flat = seed.reshape(-1)
+    # 1-based creation rank at each seed position
+    rank_flat = jnp.cumsum(seed_flat.astype(jnp.int32))
+    rep_flat = jnp.clip(rep.reshape(-1), 0, h * w - 1)
+    label_flat = jnp.where(fg.reshape(-1), rank_flat[rep_flat], 0)
+    n_seeds = rank_flat[-1]
+    overflowed = n_seeds > cap
+
+    # segment aggregates keyed by creation label (0 = background / dropped)
+    seg = jnp.where(label_flat <= cap, label_flat, 0)
+    nseg = cap + 1
+    ones = fg.reshape(-1).astype(jnp.int32) * (seg > 0)
+    xs = jnp.tile(jnp.arange(w, dtype=jnp.int32), h)
+    ys = jnp.repeat(jnp.arange(h, dtype=jnp.int32), w)
+    area = jax.ops.segment_sum(ones, seg, num_segments=nseg)
+    sum_x = jax.ops.segment_sum(xs * ones, seg, num_segments=nseg)
+    sum_y = jax.ops.segment_sum(ys * ones, seg, num_segments=nseg)
+    min_x = jax.ops.segment_min(jnp.where(ones > 0, xs, big), seg, num_segments=nseg)
+    min_y = jax.ops.segment_min(jnp.where(ones > 0, ys, big), seg, num_segments=nseg)
+    max_x = jax.ops.segment_max(jnp.where(ones > 0, xs, -1), seg, num_segments=nseg)
+    max_y = jax.ops.segment_max(jnp.where(ones > 0, ys, -1), seg, num_segments=nseg)
+
+    # which creation labels are component representatives (survive compaction)?
+    idx_flat = jnp.arange(h * w, dtype=jnp.int32)
+    is_rep_pixel = seed_flat & (rep.reshape(-1) == idx_flat)
+    rep_rank = jnp.where(is_rep_pixel & (label_flat <= cap), label_flat, 0)
+    is_rep = jnp.zeros(nseg, bool).at[rep_rank].set(True, mode="drop")
+    is_rep = is_rep.at[0].set(False)
+
+    # compact in ascending label order
+    order = jnp.cumsum(is_rep.astype(jnp.int32)) - 1  # destination row per label
+    n = jnp.sum(is_rep).astype(jnp.int32)
+    dst = jnp.where(is_rep, order, cap)  # cap row = scratch, dropped
+
+    def scatter(vals, fill=0):
+        out = jnp.full((cap + 1,), fill, vals.dtype)
+        return out.at[dst].set(vals, mode="drop")[:cap]
+
+    labels_r = jnp.arange(nseg, dtype=jnp.int32)
+    t_label = scatter(labels_r)
+    t_area = scatter(area)
+    safe_area = jnp.maximum(t_area, 1)
+    t_box = Rect(
+        scatter(min_x), scatter(min_y),
+        scatter(max_x - min_x + 1), scatter(max_y - min_y + 1),
+    )
+    t_cent = Point(scatter(sum_x) // safe_area, scatter(sum_y) // safe_area)
+
+    table = Blobs(n=n, label=t_label, area=t_area, box=t_box, centroid=t_cent)
+    label_map = jnp.where(label_flat <= cap, label_flat, 0).reshape(h, w).astype(jnp.uint16)
+    return table, label_map, overflowed
+
+
+@jax.jit
+def blob_corners(img: jnp.ndarray, labels: jnp.ndarray, label, box: Rect, centroid: Point):
+    """Quad corner finder — ``gs_blob_corners`` (grayskull.h:404-421).
+
+    Returns a (4, 2) int32 array of (x, y) rows: TL, TR, BR, BL — extremes of
+    ``x+y`` and ``x-y`` over the blob's pixels inside its bbox, first-occurrence
+    tie-breaks in raster order.  All blob fields may be traced (device-resident
+    pipeline).  With no matching pixels every corner is the centroid, like C.
+    """
+    h, w = img.shape
+    xs = jnp.arange(w, dtype=jnp.int32)[None, :]
+    ys = jnp.arange(h, dtype=jnp.int32)[:, None]
+    bx = jnp.asarray(box.x, jnp.int32)
+    by = jnp.asarray(box.y, jnp.int32)
+    bw = jnp.asarray(box.w, jnp.int32)
+    bh = jnp.asarray(box.h, jnp.int32)
+    mask = (
+        (img >= 128)
+        & (labels.astype(jnp.int32) == jnp.asarray(label, jnp.int32))
+        & (xs >= bx) & (xs < bx + bw) & (ys >= by) & (ys < by + bh)
+    )
+    s = (xs + ys).astype(jnp.int32)
+    d = (xs - ys).astype(jnp.int32)
+    big = jnp.int32(2 ** 30)
+
+    def first_min(key):
+        flat = jnp.where(mask, key, big).reshape(-1)
+        i = jnp.argmin(flat).astype(jnp.int32)
+        return i % w, i // w
+
+    def first_max(key):
+        flat = jnp.where(mask, key, -big).reshape(-1)
+        i = jnp.argmax(flat).astype(jnp.int32)
+        return i % w, i // w
+
+    any_px = jnp.any(mask)
+    cx = jnp.asarray(centroid.x, jnp.int32)
+    cy = jnp.asarray(centroid.y, jnp.int32)
+
+    def pick(p):
+        x, y = p
+        return jnp.where(any_px, x, cx), jnp.where(any_px, y, cy)
+
+    tl = pick(first_min(s))
+    br = pick(first_max(s))
+    bl = pick(first_min(d))
+    tr = pick(first_max(d))
+    return jnp.stack([jnp.stack(tl), jnp.stack(tr), jnp.stack(br), jnp.stack(bl)])

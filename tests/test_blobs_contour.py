@@ -1,0 +1,227 @@
+"""Unit + parity tests for connected components, blob corners, contour tracing."""
+
+import numpy as np
+import pytest
+
+import grayskull_tpu as gs
+
+W = 255
+
+
+def rand_blobby(rng, h, w, p=0.45):
+    """Random binary-ish image with blobby structure."""
+    img = (rng.random((h, w)) < p).astype(np.uint8) * 255
+    return img
+
+
+def blobs_dict(img, cap):
+    table, labels, overflowed = gs.blobs(img, cap)
+    n = int(table.n)
+    return dict(
+        n=n,
+        labels=np.asarray(labels),
+        label=np.asarray(table.label)[:n],
+        area=np.asarray(table.area)[:n],
+        box=np.stack(
+            [np.asarray(v)[:n] for v in (table.box.x, table.box.y, table.box.w, table.box.h)],
+            axis=1,
+        ),
+        centroid=np.stack([np.asarray(table.centroid.x)[:n], np.asarray(table.centroid.y)[:n]], axis=1),
+        overflowed=bool(overflowed),
+    )
+
+
+def assert_blobs_equal(ours, ref, msg=""):
+    assert ours["n"] == ref["n"], f"{msg}: count {ours['n']} vs {ref['n']}"
+    np.testing.assert_array_equal(ours["labels"], ref["labels"], err_msg=f"{msg}: label map")
+    np.testing.assert_array_equal(ours["label"], ref["label"], err_msg=f"{msg}: labels")
+    np.testing.assert_array_equal(ours["area"], ref["area"], err_msg=f"{msg}: areas")
+    np.testing.assert_array_equal(ours["box"], ref["box"].astype(np.int64), err_msg=f"{msg}: boxes")
+    np.testing.assert_array_equal(
+        ours["centroid"], ref["centroid"].astype(np.int64), err_msg=f"{msg}: centroids"
+    )
+
+
+def test_blobs_reference_vector():
+    # the reference's unit-test grid: 3 merged components with labels {1, 2, 6}
+    img = np.array(
+        [
+            [W, W, 0, 0, W, 0],
+            [W, 0, 0, W, W, 0],
+            [0, 0, W, W, 0, 0],
+            [W, W, W, 0, 0, W],
+            [0, W, 0, 0, 0, W],
+        ],
+        np.uint8,
+    )
+    d = blobs_dict(img, 10)
+    assert d["n"] == 3
+    assert d["label"].tolist() == [1, 2, 6]
+    assert d["area"].tolist() == [3, 9, 2]
+    assert d["box"].tolist() == [[0, 0, 2, 2], [0, 0, 5, 5], [5, 3, 1, 2]]
+    assert d["centroid"].tolist() == [[0, 0], [2, 2], [5, 3]]
+
+
+@pytest.mark.parametrize("size", [(1, 1), (5, 6), (16, 16), (64, 48)])
+@pytest.mark.parametrize("density", [0.2, 0.45, 0.8])
+def test_blobs_parity_random(oracle, rng, size, density):
+    img = rand_blobby(rng, *size, density)
+    ours = blobs_dict(img, 4000)
+    ref = oracle.blobs(img, 4000)
+    assert not ours["overflowed"]
+    assert_blobs_equal(ours, ref, f"{size}@{density}")
+
+
+def test_blobs_spiral(oracle):
+    # worst-case propagation distance: a spiral strip
+    n = 41
+    img = np.zeros((n, n), np.uint8)
+    x0, x1, y0, y1 = 0, n - 1, 0, n - 1
+    while x0 <= x1 and y0 <= y1:
+        img[y0, x0 : x1 + 1] = 255
+        img[y0 : y1 + 1, x1] = 255
+        if y1 > y0 + 1:
+            img[y1, x0 + 2 : x1 + 1] = 255
+            img[y0 + 2 : y1 + 1, x0 + 2] = 255
+        x0 += 4; y0 += 4; x1 -= 4; y1 -= 4
+    ours = blobs_dict(img, 100)
+    ref = oracle.blobs(img, 100)
+    assert_blobs_equal(ours, ref, "spiral")
+
+
+def test_blobs_aruco_pipeline(oracle, testdata):
+    # the Makefile integration pipeline's blob stage on real data (downscaled)
+    img = testdata["aruco"][::2, ::2].copy()
+    b = np.asarray(gs.blur(img, 3))
+    s = np.asarray(gs.sobel(b))
+    t = np.asarray(gs.threshold(s, int(gs.otsu_threshold(s))))
+    d = np.asarray(gs.dilate(t))
+    e = np.asarray(gs.erode(d))
+    ours = blobs_dict(e, 4000)
+    ref = oracle.blobs(e, 4000)
+    assert_blobs_equal(ours, ref, "aruco")
+
+
+def test_blob_corners_parity(oracle, rng):
+    img = rand_blobby(rng, 24, 32, 0.6)
+    cap = 2000
+    ours = blobs_dict(img, cap)
+    ref = oracle.blobs(img, cap)
+    assert_blobs_equal(ours, ref)
+    table, labels, _ = gs.blobs(img, cap)
+    for i in range(ref["n"]):
+        blob = dict(
+            label=ref["label"][i], area=ref["area"][i], box=ref["box"][i],
+            centroid=ref["centroid"][i],
+        )
+        ref_c = oracle.blob_corners(img, ref["labels"], blob)
+        ours_c = np.asarray(
+            gs.blob_corners(
+                img,
+                labels,
+                int(blob["label"]),
+                gs.Rect(*[int(v) for v in blob["box"]]),
+                gs.Point(*[int(v) for v in blob["centroid"]]),
+            )
+        )
+        np.testing.assert_array_equal(ours_c, ref_c.astype(np.int64), err_msg=f"blob {i}")
+
+
+def test_trace_contour_reference_vector():
+    img = np.array(
+        [
+            [0, W, W, W, 0],
+            [0, W, W, W, 0],
+            [0, W, 0, W, W],
+            [0, W, W, W, 0],
+            [0, 0, W, 0, W],
+        ],
+        np.uint8,
+    )
+    c = gs.trace_contour(img, (1, 0))
+    assert int(c.length) == 10
+    assert tuple(int(v) for v in c.box) == (1, 0, 4, 5)
+    expected_visited = np.array(
+        [
+            [0, W, W, W, 0],
+            [0, W, 0, W, 0],
+            [0, W, 0, 0, W],
+            [0, W, 0, W, 0],
+            [0, 0, W, 0, 0],
+        ],
+        np.uint8,
+    )
+    np.testing.assert_array_equal(np.asarray(c.visited), expected_visited)
+
+
+def shapes_img(rng, h, w, nshapes=4):
+    """Union of filled rects/discs — closed regions whose boundary traces terminate.
+
+    (The C reference's gs_trace_contour loops FOREVER on salt-and-pepper noise:
+    its only stop conditions are dead-end or a second visit of the start pixel, and
+    a walk can cycle without revisiting the start.  Our implementation bounds the
+    walk; the oracle cannot be safely called on such inputs.)
+    """
+    img = np.zeros((h, w), np.uint8)
+    for _ in range(nshapes):
+        if rng.random() < 0.5:
+            y, x = rng.integers(0, h - 4), rng.integers(0, w - 4)
+            hh, ww = rng.integers(3, h - y + 1), rng.integers(3, w - x + 1)
+            img[y : y + hh, x : x + ww] = 255
+        else:
+            cy, cx = rng.integers(2, h - 2), rng.integers(2, w - 2)
+            r = int(rng.integers(2, min(h, w) // 3 + 1))
+            yy, xx = np.mgrid[0:h, 0:w]
+            img[(yy - cy) ** 2 + (xx - cx) ** 2 <= r * r] = 255
+    return img
+
+
+def first_boundary_start(img):
+    fgs = np.argwhere(img > 128)
+    if len(fgs) == 0:
+        return None
+    y, x = fgs[0]  # topmost-leftmost foreground pixel
+    return int(x), int(y)
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_trace_contour_parity_shapes(oracle, rng, trial):
+    img = shapes_img(rng, 24, 28)
+    start = first_boundary_start(img)
+    if start is None:
+        pytest.skip("no foreground")
+    ours = gs.trace_contour(img, start)
+    ref = oracle.trace_contour(img, *start)
+    assert int(ours.length) == ref["length"]
+    assert tuple(int(v) for v in ours.box) == ref["box"]
+    np.testing.assert_array_equal(np.asarray(ours.visited), ref["visited"])
+
+
+def test_trace_contour_visited_carryover(oracle, rng):
+    img = np.zeros((16, 16), np.uint8)
+    img[2:6, 2:7] = 255
+    img[9:14, 8:15] = 255
+    ours1 = gs.trace_contour(img, (2, 2))
+    ours2 = gs.trace_contour(img, (8, 9), visited=ours1.visited)
+    vref = np.zeros_like(img)
+    r1 = oracle.trace_contour(img, 2, 2, visited=vref)
+    r2 = oracle.trace_contour(img, 8, 9, visited=r1["visited"])
+    assert int(ours2.length) == r2["length"]
+    np.testing.assert_array_equal(np.asarray(ours2.visited), r2["visited"])
+
+
+def test_single_pixel_blob():
+    img = np.zeros((3, 3), np.uint8)
+    img[1, 1] = 255
+    d = blobs_dict(img, 5)
+    assert d["n"] == 1
+    assert d["label"].tolist() == [1]
+    assert d["area"].tolist() == [1]
+    assert d["box"].tolist() == [[1, 1, 1, 1]]
+
+
+def test_empty_image_blobs():
+    img = np.zeros((4, 4), np.uint8)
+    d = blobs_dict(img, 5)
+    assert d["n"] == 0
+    assert (d["labels"] == 0).all()
