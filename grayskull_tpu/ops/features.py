@@ -1,0 +1,313 @@
+"""FAST-9 corners, ORB (oriented BRIEF) descriptors, Hamming matching —
+``gs_fast`` / ``gs_compute_orientation`` / ``gs_brief_descriptor`` /
+``gs_orb_extract`` / ``gs_match_orb`` (/root/reference/grayskull.h:482-699).
+
+TPU formulation: dense masked scoring instead of branchy per-pixel loops —
+
+* FAST: 16 shifted views of the frame, a 25-step vectorized run-length sweep for
+  the 9-consecutive arc test (with the reference's unsigned-wraparound compare
+  quirks preserved), dense 3x3 NMS, then a rank-scatter into a fixed-capacity
+  keypoint table in scan order;
+* orientation/BRIEF: gathered patches, integer-exact moment sums, rotations with
+  contraction-proof float32 subs;
+* matching: XOR + popcount distance matrix (one dense (n1, n2) block) with the
+  reference's best/second-best bookkeeping reproduced as masked reductions.
+
+Reference quirks preserved (verified by differential tests):
+
+* ``v < p - threshold`` in C promotes to *unsigned*: for pixels darker than the
+  threshold the compare wraps and every circle sample counts as "darker"
+  (grayskull.h:498) — so very dark pixels are corner candidates whose score is
+  usually 0 (dropped by NMS), but not always;
+* FAST's score is ``min |v_i - p|`` over ALL 16 circle pixels, not just the arc
+  (grayskull.h:505-510);
+* keypoints are emitted in raster-scan order, capped (grayskull.h:530);
+* the ORB candidate sort is a *stable* descending bubble sort (grayskull.h:639);
+* match acceptance is ``best <= max_dist && best < 0.8f * second`` with
+  best/second initialized to ``max_dist + 1`` (grayskull.h:685-696).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import Keypoints, Matches
+from ..exactf32 import f32_add, f32_sub
+from ..libm32 import atan2f as _atan2f_impl, cosf_like_reference, sinf as _sinf_impl
+
+__all__ = [
+    "fast",
+    "fast_scoremap",
+    "compute_orientation",
+    "brief_descriptor",
+    "orb_extract",
+    "hamming_distance",
+    "match_orb",
+    "BRIEF_PATTERN",
+]
+
+# FAST Bresenham circle of radius 3 (grayskull.h:485-486)
+_CIRCLE_DX = (0, 1, 2, 3, 3, 3, 2, 1, 0, -1, -2, -3, -3, -3, -2, -1)
+_CIRCLE_DY = (-3, -3, -2, -1, 0, 1, 2, 3, 3, 3, 2, 1, 0, -1, -2, -3)
+
+_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "data")
+# 256 (x1, y1, x2, y2) BRIEF test pairs (grayskull.h:541-605; standard ORB layout)
+BRIEF_PATTERN = np.load(os.path.join(_DATA_DIR, "brief_pattern.npy"))
+
+
+@functools.partial(jax.jit, static_argnames=())
+def fast_scoremap(img: jnp.ndarray, threshold) -> jnp.ndarray:
+    """Dense FAST-9 score map (pass 1 of ``gs_fast``, grayskull.h:489-515).
+
+    Returns a uint8 (H, W) map; the 3-px border is 0 (the reference never writes
+    it — callers supply zeroed buffers).
+    """
+    h, w = img.shape
+    p = img.astype(jnp.uint32)
+    thr = jnp.asarray(threshold, jnp.uint32)
+    padded = jnp.pad(img, 3).astype(jnp.uint32)
+    views = [padded[3 + dy : 3 + dy + h, 3 + dx : 3 + dx + w]
+             for dx, dy in zip(_CIRCLE_DX, _CIRCLE_DY)]
+    # unsigned-wraparound compares, exactly like C (grayskull.h:496-498).
+    # NOTE the C else-if chain: a sample can satisfy BOTH compares when p < thr
+    # (p - thr wraps to a huge unsigned), and then "bright" wins.
+    bright = [v > p + thr for v in views]
+    dark = [(~b) & (v < p - thr) for v, b in zip(views, bright)]
+
+    # 25-step run sweep over wrapped indices: run of >= 9 consecutive same-type
+    run_b = jnp.zeros((h, w), jnp.int32)
+    run_d = jnp.zeros((h, w), jnp.int32)
+    corner = jnp.zeros((h, w), bool)
+    for i in range(16 + 9):
+        k = i % 16
+        run_b = jnp.where(bright[k], run_b + 1, 0)
+        run_d = jnp.where(dark[k], run_d + 1, 0)
+        corner = corner | (run_b >= 9) | (run_d >= 9)
+
+    diffs = [jnp.abs(v.astype(jnp.int32) - p.astype(jnp.int32)) for v in views]
+    min_diff = diffs[0]
+    for d in diffs[1:]:
+        min_diff = jnp.minimum(min_diff, d)
+    score = jnp.where(corner, min_diff, 0)
+
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    interior = (ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3)
+    return jnp.where(interior, score, 0).astype(jnp.uint8)
+
+
+def _rank_scatter(mask_flat, cap, values):
+    """Scatter values of masked positions into a cap-table in flat order."""
+    rank = jnp.cumsum(mask_flat.astype(jnp.int32)) - 1
+    ok = mask_flat & (rank < cap)
+    dst = jnp.where(ok, rank, cap)
+    outs = []
+    for v in values:
+        buf = jnp.zeros((cap + 1,) + v.shape[1:], v.dtype)
+        outs.append(buf.at[dst].set(v, mode="drop")[:cap])
+    n = jnp.minimum(jnp.sum(mask_flat.astype(jnp.int32)), cap)
+    return n.astype(jnp.int32), outs
+
+
+@functools.partial(jax.jit, static_argnames=("max_kps",))
+def fast(img: jnp.ndarray, max_kps: int, threshold):
+    """FAST-9 with 3x3 NMS — ``gs_fast`` (grayskull.h:482-534).
+
+    Returns a :class:`Keypoints` table (angle/descriptor zeroed) with up to
+    ``max_kps`` corners in raster-scan order, plus the score map.
+    """
+    h, w = img.shape
+    cap = int(max_kps)
+    score = fast_scoremap(img, threshold)
+    s = score.astype(jnp.int32)
+    sp = jnp.pad(s, 1)
+    is_max = s > 0
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            is_max &= ~(sp[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w] > s)
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    interior = (ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3)
+    mask = (is_max & interior).reshape(-1)
+    xg = jnp.broadcast_to(xs, (h, w)).reshape(-1).astype(jnp.int32)
+    yg = jnp.broadcast_to(ys, (h, w)).reshape(-1).astype(jnp.int32)
+    n, (tx, ty, tr) = _rank_scatter(mask, cap, (xg, yg, s.reshape(-1)))
+    return (
+        Keypoints(
+            n=n, x=tx, y=ty, response=tr,
+            angle=jnp.zeros(cap, jnp.float32),
+            descriptor=jnp.zeros((cap, 8), jnp.uint32),
+        ),
+        score,
+    )
+
+
+# --- orientation & descriptor ------------------------------------------------
+
+
+def _orientation_single(img, x, y, r: int):
+    """Intensity-centroid angle at one keypoint (grayskull.h:608-621)."""
+    size = 2 * r + 1
+    patch = jax.lax.dynamic_slice(
+        img, (y - r, x - r), (size, size)
+    ).astype(jnp.int32)
+    dyy, dxx = np.mgrid[-r : r + 1, -r : r + 1]
+    disc = (dxx * dxx + dyy * dyy) <= r * r
+    # integer-exact sums (|m| < 2^24, so f32 conversion is exact)
+    m01 = jnp.sum(jnp.where(disc, dyy * patch, 0))
+    m10 = jnp.sum(jnp.where(disc, dxx * patch, 0))
+    return _atan2f_impl(m01.astype(jnp.float32), m10.astype(jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("radius",))
+def compute_orientation(img: jnp.ndarray, x, y, radius: int = 15):
+    """Intensity-centroid orientation — ``gs_compute_orientation``.
+
+    ``x, y`` may be scalars or arrays (vmapped).  Keypoints must be >= radius
+    from the border (asserted in C).
+    """
+    x = jnp.asarray(x, jnp.int32)
+    y = jnp.asarray(y, jnp.int32)
+    if x.ndim == 0:
+        return _orientation_single(img, x, y, radius)
+    return jax.vmap(lambda xx, yy: _orientation_single(img, xx, yy, radius))(x, y)
+
+
+def _brief_single(img, x, y, angle):
+    """256-bit rBRIEF descriptor for one keypoint (grayskull.h:623-637)."""
+    h, w = img.shape
+    pat = jnp.asarray(BRIEF_PATTERN.astype(np.float32))  # (256, 4)
+    sin_a = _sinf_impl(angle)
+    cos_a = cosf_like_reference(angle)  # C uses gs_sin(a + 1.57079f), not cos
+    # dx1 = px1*cos - py1*sin ... exact f32 subs/adds (products feed adds)
+    dx1 = f32_sub(pat[:, 0] * cos_a, pat[:, 1] * sin_a)
+    dy1 = f32_add(pat[:, 0] * sin_a, pat[:, 1] * cos_a)
+    dx2 = f32_sub(pat[:, 2] * cos_a, pat[:, 3] * sin_a)
+    dy2 = f32_add(pat[:, 2] * sin_a, pat[:, 3] * cos_a)
+    x1 = x + dx1.astype(jnp.int32)  # C (int) cast truncates toward zero
+    y1 = y + dy1.astype(jnp.int32)
+    x2 = x + dx2.astype(jnp.int32)
+    y2 = y + dy2.astype(jnp.int32)
+
+    def sample(xx, yy):
+        ok = (xx >= 0) & (xx < w) & (yy >= 0) & (yy < h)
+        v = img[jnp.clip(yy, 0, h - 1), jnp.clip(xx, 0, w - 1)]
+        return jnp.where(ok, v, 0).astype(jnp.int32)
+
+    bits = (sample(x1, y1) > sample(x2, y2)).astype(jnp.uint32)  # (256,)
+    weights = jnp.asarray((1 << np.arange(32, dtype=np.int64)).astype(np.uint32))
+    return jnp.sum(bits.reshape(8, 32) * weights[None, :], axis=1, dtype=jnp.uint32)
+
+
+@jax.jit
+def brief_descriptor(img: jnp.ndarray, x, y, angle):
+    """Rotated BRIEF descriptor(s) — ``gs_brief_descriptor`` (grayskull.h:623-637).
+
+    Returns (8,) uint32 for scalars or (N, 8) for arrays.
+    """
+    x = jnp.asarray(x, jnp.int32)
+    y = jnp.asarray(y, jnp.int32)
+    angle = jnp.asarray(angle, jnp.float32)
+    if x.ndim == 0:
+        return _brief_single(img, x, y, angle)
+    return jax.vmap(lambda xx, yy, aa: _brief_single(img, xx, yy, aa))(x, y, angle)
+
+
+@functools.partial(jax.jit, static_argnames=("max_kps",))
+def orb_extract(img: jnp.ndarray, max_kps: int, threshold, limit=None):
+    """Full ORB extraction — ``gs_orb_extract`` (grayskull.h:651-669).
+
+    FAST with a 4x candidate budget (capped at 5000), stable sort by response
+    descending, border filter (radius 15), then orientation + descriptor for the
+    top ``max_kps``.  ``limit`` optionally caps the *count* dynamically (a traced
+    scalar <= max_kps) — used by the pyramid pipeline, whose per-level budget
+    depends on how many keypoints earlier levels produced (nanomagick.c:275-277);
+    the candidate budget stays ``min(4 * max_kps, 5000)`` like a C caller passing
+    the dynamic ``nkps`` would get.
+    """
+    h, w = img.shape
+    cap = int(max_kps)
+    cand_cap = min(cap * 4, 5000)
+    radius = 15
+    kps, _ = fast(img, cand_cap, threshold)
+    n_cand = kps.n
+    if limit is not None:
+        # C computes the candidate budget from the dynamic nkps: min(4*nkps, 5000)
+        n_cand = jnp.minimum(
+            n_cand, jnp.minimum(jnp.asarray(limit, jnp.int32) * 4, 5000)
+        )
+    valid = jnp.arange(cand_cap) < n_cand
+    # stable descending sort on response == ascending sort on -response
+    key = jnp.where(valid, -kps.response, 1)
+    order = jnp.argsort(key, stable=True)
+    sx = kps.x[order]
+    sy = kps.y[order]
+    sr = kps.response[order]
+    sv = valid[order]
+    border_ok = (sx >= radius) & (sy >= radius) & (sx < w - radius) & (sy < h - radius)
+    n, (tx, ty, tr) = _rank_scatter(sv & border_ok, cap, (sx, sy, sr))
+    if limit is not None:
+        lim = jnp.minimum(jnp.asarray(limit, jnp.int32), cap)
+        n = jnp.minimum(n, lim)
+        row_ok = jnp.arange(cap) < n
+        tx = jnp.where(row_ok, tx, 0)
+        ty = jnp.where(row_ok, ty, 0)
+        tr = jnp.where(row_ok, tr, 0)
+    # compute angle/descriptor for all cap rows (invalid rows clamp to center)
+    safe_x = jnp.clip(tx, radius, w - radius - 1)
+    safe_y = jnp.clip(ty, radius, h - radius - 1)
+    angle = compute_orientation(img, safe_x, safe_y, radius)
+    desc = brief_descriptor(img, safe_x, safe_y, angle)
+    row_valid = jnp.arange(cap) < n
+    angle = jnp.where(row_valid, angle, 0.0)
+    desc = jnp.where(row_valid[:, None], desc, 0)
+    return Keypoints(n=n, x=tx, y=ty, response=tr, angle=angle, descriptor=desc)
+
+
+# --- matching ---------------------------------------------------------------
+
+
+@jax.jit
+def hamming_distance(desc1: jnp.ndarray, desc2: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise 256-bit Hamming distances — ``gs_hamming_distance``
+    (grayskull.h:671-678).  (n1, 8) x (n2, 8) uint32 -> (n1, n2) int32."""
+    x = desc1[:, None, :] ^ desc2[None, :, :]
+    return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("max_matches",))
+def match_orb(kps1: Keypoints, kps2: Keypoints, max_matches: int, max_distance):
+    """Brute-force best/second-best descriptor matching with Lowe ratio test —
+    ``gs_match_orb`` (grayskull.h:680-699)."""
+    cap = int(max_matches)
+    maxd = jnp.asarray(max_distance, jnp.float32)
+    sent = maxd + jnp.float32(1.0)
+    n1cap = kps1.descriptor.shape[0]
+    n2cap = kps2.descriptor.shape[0]
+    d = hamming_distance(kps1.descriptor, kps2.descriptor).astype(jnp.float32)
+    valid2 = (jnp.arange(n2cap) < kps2.n)[None, :]
+    inf = jnp.float32(np.inf)
+    dv = jnp.where(valid2, d, inf)
+    b1 = jnp.min(dv, axis=1)
+    best_idx = jnp.argmin(dv, axis=1).astype(jnp.int32)  # first occurrence of min
+    # second smallest among valid (excluding one instance of the min)
+    dv2 = dv.at[jnp.arange(n1cap), best_idx].set(inf)
+    b2 = jnp.min(dv2, axis=1)
+    # fold in the two sentinels (initial best/second = max_distance + 1)
+    best = jnp.minimum(b1, sent)
+    second = jnp.where(b1 <= sent, jnp.minimum(b2, sent), sent)
+    accept = (best <= maxd) & (best < jnp.float32(0.8) * second)
+    valid1 = jnp.arange(n1cap) < kps1.n
+    mask = accept & valid1 & (b1 < inf)
+    n, (ti1, ti2, td) = _rank_scatter(
+        mask, cap,
+        (jnp.arange(n1cap, dtype=jnp.int32), best_idx, best.astype(jnp.int32)),
+    )
+    return Matches(n=n, idx1=ti1, idx2=ti2, distance=td)

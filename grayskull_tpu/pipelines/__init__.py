@@ -1,5 +1,12 @@
 """L4 pipelines: compositions matching the reference's example applications."""
 
+from .orb import extract_pyramid_orb, pyramid_levels, track  # noqa: F401
 from .scan import scan, preprocess_binarize  # noqa: F401
 
-__all__ = ["scan", "preprocess_binarize"]
+__all__ = [
+    "extract_pyramid_orb",
+    "preprocess_binarize",
+    "pyramid_levels",
+    "scan",
+    "track",
+]

@@ -1,0 +1,216 @@
+"""FAST / ORB / matching parity tests vs the C oracle.
+
+The reference's trig output depends on the host libm (grayskull.h:100-101), so the
+descriptor-path tests run in ``exact_host`` libm mode (bit-identical by
+construction); a separate test asserts the fast on-device mode stays within 1 ulp
+on angles and >= 99.9% of descriptor bits.
+"""
+
+import numpy as np
+import pytest
+
+import grayskull_tpu as gs
+from grayskull_tpu.core import Keypoints
+from grayskull_tpu.libm32 import use_exact_host_libm
+
+
+@pytest.fixture()
+def exact_libm():
+    use_exact_host_libm(True)
+    yield
+    use_exact_host_libm(False)
+
+
+def kp_arrays(kps):
+    n = int(kps.n)
+    return dict(
+        n=n,
+        xy=np.stack([np.asarray(kps.x)[:n], np.asarray(kps.y)[:n]], 1),
+        response=np.asarray(kps.response)[:n],
+        angle=np.asarray(kps.angle)[:n],
+        descriptor=np.asarray(kps.descriptor)[:n],
+    )
+
+
+@pytest.mark.parametrize("thr", [0, 5, 20, 60, 200])
+def test_fast_parity(oracle, testdata, thr):
+    img = testdata["lena"]
+    ref = oracle.fast(img, 5000, thr)
+    kps, score = gs.ops.fast(img, 5000, thr)
+    d = kp_arrays(kps)
+    np.testing.assert_array_equal(np.asarray(score), ref["scoremap"])
+    assert d["n"] == ref["n"]
+    np.testing.assert_array_equal(d["xy"], ref["xy"].astype(np.int64))
+    np.testing.assert_array_equal(d["response"], ref["response"].astype(np.int64))
+
+
+def test_fast_cap_truncation(oracle, testdata):
+    img = testdata["lena"]
+    ref = oracle.fast(img, 50, 10)
+    kps, _ = gs.ops.fast(img, 50, 10)
+    d = kp_arrays(kps)
+    assert d["n"] == ref["n"] == 50
+    np.testing.assert_array_equal(d["xy"], ref["xy"].astype(np.int64))
+
+
+def test_fast_random_parity(oracle, rng):
+    for _ in range(3):
+        img = rng.integers(0, 256, (40, 56), dtype=np.uint8)
+        ref = oracle.fast(img, 3000, 15)
+        kps, score = gs.ops.fast(img, 3000, 15)
+        d = kp_arrays(kps)
+        np.testing.assert_array_equal(np.asarray(score), ref["scoremap"])
+        assert d["n"] == ref["n"]
+        np.testing.assert_array_equal(d["xy"], ref["xy"].astype(np.int64))
+
+
+def test_orb_extract_parity_exact(oracle, testdata, exact_libm):
+    img = testdata["lena"]
+    for nk, thr in [(100, 10), (500, 20), (2500, 20)]:
+        ours = kp_arrays(gs.ops.orb_extract(img, nk, thr))
+        ref = oracle.orb_extract(img, nk, thr)
+        assert ours["n"] == ref["n"]
+        np.testing.assert_array_equal(ours["xy"], ref["xy"].astype(np.int64))
+        np.testing.assert_array_equal(ours["response"], ref["response"].astype(np.int64))
+        np.testing.assert_array_equal(
+            ours["angle"].view(np.uint32), ref["angle"].view(np.uint32)
+        )
+        np.testing.assert_array_equal(ours["descriptor"].astype(np.uint32), ref["descriptor"])
+
+
+def test_orb_fast_mode_close(oracle, testdata):
+    """Default on-device trig: angles within 1 ulp, descriptors >=99.9% of bits."""
+    img = testdata["lena"]
+    ours = kp_arrays(gs.ops.orb_extract(img, 500, 20))
+    ref = oracle.orb_extract(img, 500, 20)
+    assert ours["n"] == ref["n"]
+    np.testing.assert_array_equal(ours["xy"], ref["xy"].astype(np.int64))
+    # angles within 1 ulp
+    a, b = ours["angle"], ref["angle"]
+    ulp = np.maximum(np.abs(np.spacing(b)), 1e-45)
+    assert (np.abs(a - b) <= ulp + 1e-30).all()
+    # descriptor bits nearly identical
+    diff = np.bitwise_xor(ours["descriptor"].astype(np.uint32), ref["descriptor"])
+    bad_bits = sum(bin(int(v)).count("1") for v in diff.ravel())
+    total_bits = ours["n"] * 256
+    assert bad_bits <= total_bits * 0.001, f"{bad_bits}/{total_bits} descriptor bits differ"
+
+
+def test_match_orb_parity(oracle, testdata, exact_libm):
+    img1 = testdata["lena"]
+    img2 = testdata["lena"][::-1, ::-1].copy()
+    o1 = oracle.orb_extract(img1, 500, 20)
+    o2 = oracle.orb_extract(img2, 500, 20)
+
+    def mk(o, cap=512):
+        d = np.zeros((cap, 8), np.uint32)
+        d[: o["n"]] = o["descriptor"]
+        import jax.numpy as jnp
+
+        return Keypoints(
+            n=jnp.int32(o["n"]),
+            x=jnp.zeros(cap, jnp.int32), y=jnp.zeros(cap, jnp.int32),
+            response=jnp.zeros(cap, jnp.int32), angle=jnp.zeros(cap, jnp.float32),
+            descriptor=jnp.asarray(d),
+        )
+
+    for mm, md in [(300, 60.0), (10, 60.0), (300, 5.0), (300, 256.0)]:
+        ref = oracle.match_orb(o1["descriptor"], o2["descriptor"], mm, md)
+        m = gs.ops.match_orb(mk(o1), mk(o2), mm, md)
+        n = int(m.n)
+        ours = np.stack(
+            [np.asarray(m.idx1)[:n], np.asarray(m.idx2)[:n], np.asarray(m.distance)[:n]], 1
+        )
+        assert n == len(ref), f"mm={mm} md={md}: {n} vs {len(ref)}"
+        np.testing.assert_array_equal(ours, ref.astype(np.int64))
+
+
+def test_match_orb_single_candidate(oracle):
+    """n2=1: second_best stays at max_distance+1 (sentinel bookkeeping)."""
+    rng = np.random.default_rng(5)
+    d1 = rng.integers(0, 2**32, (4, 8), dtype=np.uint32)
+    d2 = d1[:1] ^ np.uint32(1)  # distance 1 from d1[0]
+    import jax.numpy as jnp
+
+    def mk(d, n):
+        cap = len(d)
+        return Keypoints(
+            n=jnp.int32(n), x=jnp.zeros(cap, jnp.int32), y=jnp.zeros(cap, jnp.int32),
+            response=jnp.zeros(cap, jnp.int32), angle=jnp.zeros(cap, jnp.float32),
+            descriptor=jnp.asarray(d),
+        )
+
+    for md in (0.5, 1.0, 2.0, 60.0):
+        ref = oracle.match_orb(d1, d2, 10, md)
+        m = gs.ops.match_orb(mk(d1, 4), mk(d2, 1), 10, md)
+        n = int(m.n)
+        ours = np.stack(
+            [np.asarray(m.idx1)[:n], np.asarray(m.idx2)[:n], np.asarray(m.distance)[:n]], 1
+        )
+        assert n == len(ref)
+        np.testing.assert_array_equal(ours, ref.astype(np.int64))
+
+
+def test_hamming_distance():
+    d1 = np.zeros((1, 8), np.uint32)
+    d2 = np.full((1, 8), 0xFFFFFFFF, np.uint32)
+    assert int(gs.ops.hamming_distance(d1, d2)[0, 0]) == 256
+    assert int(gs.ops.hamming_distance(d1, d1)[0, 0]) == 0
+
+
+def ref_pyramid(oracle, img, nkps, threshold, n_levels):
+    """Replicates extract_pyramid_orb_nm (nanomagick.c:245-290) via oracle calls."""
+    levels = [img]
+    for _ in range(1, min(n_levels, 4)):
+        prev = levels[-1]
+        h, w = prev.shape[0] // 2, prev.shape[1] // 2
+        if h < 32 or w < 32:
+            break
+        levels.append(oracle.downsample(prev))
+    out = []
+    total = 0
+    nlv = len(levels)
+    for lvl, im in enumerate(levels):
+        budget = nkps // nlv if lvl < nlv - 1 else nkps - total
+        if budget == 0:
+            continue
+        r = oracle.orb_extract(im, budget, threshold)
+        scale = 1 << lvl
+        for i in range(r["n"]):
+            out.append(
+                (r["xy"][i, 0] * scale, r["xy"][i, 1] * scale, r["response"][i],
+                 r["angle"][i], tuple(r["descriptor"][i]))
+            )
+        total += r["n"]
+    return out
+
+
+@pytest.mark.parametrize("nkps,thr,nlv", [(2500, 20, 3), (90, 20, 3), (300, 10, 4)])
+def test_pyramid_orb_parity(oracle, testdata, exact_libm, nkps, thr, nlv):
+    img = testdata["aruco"]
+    ref = ref_pyramid(oracle, img, nkps, thr, nlv)
+    ours = kp_arrays(gs.pipelines.extract_pyramid_orb(img, nkps, thr, nlv))
+    assert ours["n"] == len(ref)
+    for i, (x, y, resp, ang, desc) in enumerate(ref):
+        assert (ours["xy"][i] == (x, y)).all(), i
+        assert ours["response"][i] == resp
+        assert np.float32(ours["angle"][i]).view(np.uint32) == np.float32(ang).view(np.uint32)
+        assert tuple(ours["descriptor"][i].astype(np.uint32)) == desc
+
+
+def test_track_aruco(oracle, testdata, exact_libm):
+    """Config #4: two-frame tracking on aruco — matches bit-exact vs C chain."""
+    scene = testdata["aruco"]
+    tmpl = scene[100:350, 150:450].copy()  # 250x300 template >= 32px levels
+    tk, sk, m = gs.pipelines.track(tmpl, scene)
+    rt = ref_pyramid(oracle, tmpl, 2500, 20, 3)
+    rs = ref_pyramid(oracle, scene, 2500, 20, 3)
+    rd1 = np.array([d for *_, d in rt], np.uint32).reshape(-1, 8)
+    rd2 = np.array([d for *_, d in rs], np.uint32).reshape(-1, 8)
+    ref_m = oracle.match_orb(rd1, rd2, 300, 60.0)
+    n = int(m.n)
+    ours = np.stack(
+        [np.asarray(m.idx1)[:n], np.asarray(m.idx2)[:n], np.asarray(m.distance)[:n]], 1
+    )
+    assert n == len(ref_m)
+    np.testing.assert_array_equal(ours, ref_m.astype(np.int64))
