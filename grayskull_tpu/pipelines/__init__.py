@@ -1,9 +1,11 @@
 """L4 pipelines: compositions matching the reference's example applications."""
 
+from .faces import detect_faces  # noqa: F401
 from .orb import extract_pyramid_orb, pyramid_levels, track  # noqa: F401
 from .scan import scan, preprocess_binarize  # noqa: F401
 
 __all__ = [
+    "detect_faces",
     "extract_pyramid_orb",
     "preprocess_binarize",
     "pyramid_levels",

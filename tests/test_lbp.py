@@ -1,0 +1,153 @@
+"""LBP cascade parity tests vs the C oracle (frontalface cascade)."""
+
+import numpy as np
+import pytest
+
+import grayskull_tpu as gs
+from grayskull_tpu.cascade import load_frontalface
+from grayskull_tpu.ops.lbp import lbp_detect, lbp_window, scale_ladder
+
+
+@pytest.fixture(scope="module")
+def cascade():
+    return load_frontalface()
+
+
+def test_cascade_tables_match_reference(oracle, cascade):
+    ct = oracle.cascade_tables()
+    assert cascade.window_w == ct["window_w"] and cascade.window_h == ct["window_h"]
+    for k in (
+        "features", "weak_feature_idx", "weak_subset_offset", "weak_num_subsets",
+        "subsets", "stage_weak_start", "stage_nweaks",
+    ):
+        np.testing.assert_array_equal(np.asarray(getattr(cascade, k)), ct[k], err_msg=k)
+    for k in ("weak_left_val", "weak_right_val", "stage_threshold"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(cascade, k)).view(np.uint32), ct[k].view(np.uint32), err_msg=k
+        )
+
+
+def rects_arr(r):
+    n = int(r.n)
+    return np.stack([np.asarray(v)[:n] for v in (r.x, r.y, r.w, r.h)], axis=1)
+
+
+@pytest.mark.parametrize("step", [1, 2])
+def test_lbp_detect_parity_lena(oracle, testdata, cascade, step):
+    img = testdata["lena"]
+    ii = np.asarray(gs.integral(img))
+    ours = rects_arr(lbp_detect(cascade, ii, 100, 1.2, 1.0, 4.0, step))
+    ref = oracle.lbp_detect(ii, 100, 1.2, 1.0, 4.0, step)
+    np.testing.assert_array_equal(ours, ref.astype(np.int64))
+
+
+def test_lbp_detect_parity_grayskull_crop(oracle, testdata, cascade):
+    img = testdata["grayskull"][:240, :320].copy()
+    ii = np.asarray(gs.integral(img))
+    ours = rects_arr(lbp_detect(cascade, ii, 100, 1.2, 1.0, 4.0, 1))
+    ref = oracle.lbp_detect(ii, 100, 1.2, 1.0, 4.0, 1)
+    np.testing.assert_array_equal(ours, ref.astype(np.int64))
+
+
+@pytest.mark.slow
+def test_lbp_detect_parity_full_frame(oracle, testdata, cascade):
+    img = testdata["grayskull"][:480, :640].copy()
+    ii = np.asarray(gs.integral(img))
+    for step in (2, 5):
+        ours = rects_arr(lbp_detect(cascade, ii, 100, 1.2, 1.0, 4.0, step))
+        ref = oracle.lbp_detect(ii, 100, 1.2, 1.0, 4.0, step)
+        np.testing.assert_array_equal(ours, ref.astype(np.int64), err_msg=f"step={step}")
+
+
+def test_lbp_max_rects_truncation(oracle, testdata, cascade):
+    img = testdata["lena"]
+    ii = np.asarray(gs.integral(img))
+    ours = rects_arr(lbp_detect(cascade, ii, 5, 1.2, 1.0, 4.0, 1))
+    ref = oracle.lbp_detect(ii, 5, 1.2, 1.0, 4.0, 1)
+    assert len(ours) == len(ref) == 5
+    np.testing.assert_array_equal(ours, ref.astype(np.int64))
+
+
+def test_lbp_window_parity(oracle, testdata, cascade):
+    img = testdata["lena"]
+    ii = np.asarray(gs.integral(img))
+    ref_all = oracle.lbp_detect(ii, 100, 1.2, 1.0, 4.0, 1)
+    ladder = scale_ladder(cascade, 128, 128, 1.2, 1.0, 4.0)
+    checked = 0
+    for scale, win_w, win_h in ladder[:2]:
+        for (x, y) in [(0, 0), (10, 20), (50, 50), (128 - win_w, 128 - win_h)]:
+            ours = bool(lbp_window(cascade, ii, x, y, scale))
+            ref = bool(oracle.lbp_window(ii, x, y, np.float32(scale)))
+            assert ours == ref, (scale, x, y)
+            checked += 1
+    assert checked > 0
+    del ref_all
+
+
+def test_scale_ladder_float_semantics(cascade):
+    # scale ladder must use f32 multiplication; 1.2 is inexact in f32 so the
+    # ladder values differ from python doubles
+    lad = scale_ladder(cascade, 640, 480, 1.2, 1.0, 4.0)
+    scales = [s for s, _, _ in lad]
+    f = np.float32
+    expect = []
+    s = f(1.0)
+    while s <= f(4.0):
+        ww, wh = int(f(24) * s), int(f(24) * s)
+        if ww > 640 or wh > 480:
+            break
+        expect.append(float(s))
+        s = f(s * f(1.2))
+    assert scales == expect
+
+
+def test_detect_faces_pipeline(oracle, testdata):
+    img = testdata["lena"]
+    ours = rects_arr(gs.pipelines.detect_faces(img, step=2))
+    ii = oracle.integral(img)
+    ref = oracle.lbp_detect(ii, 100, 1.2, 1.0, 4.0, 2)
+    np.testing.assert_array_equal(ours, ref.astype(np.int64))
+
+
+def test_opencv_xml_loader(tmp_path, cascade):
+    # synthesize a tiny XML in OpenCV format and check roundtrip parsing
+    xml = """<?xml version="1.0"?>
+<opencv_storage>
+<cascade>
+  <stageType>BOOST</stageType>
+  <featureType>LBP</featureType>
+  <height>8</height>
+  <width>8</width>
+  <stages>
+    <_>
+      <maxWeakCount>2</maxWeakCount>
+      <stageThreshold>-0.5</stageThreshold>
+      <weakClassifiers>
+        <_>
+          <internalNodes>0 -1 1 -67130709 -21569 -1426120013 -1275125205 -21585 -16385 587145899 -24005</internalNodes>
+          <leafValues>-0.6 0.7</leafValues>
+        </_>
+        <_>
+          <internalNodes>0 -1 0 1 2 3 4 5 6 7 8</internalNodes>
+          <leafValues>0.25 -0.25</leafValues>
+        </_>
+      </weakClassifiers>
+    </_>
+  </stages>
+  <features>
+    <_><rect>0 0 2 2</rect></_>
+    <_><rect>1 1 2 2</rect></_>
+  </features>
+</cascade>
+</opencv_storage>"""
+    p = tmp_path / "tiny.xml"
+    p.write_text(xml)
+    from grayskull_tpu.cascade import load_opencv_xml
+
+    c = load_opencv_xml(str(p))
+    assert c.window_w == 8 and c.window_h == 8
+    assert c.nweaks == 2 and c.nstages == 1 and c.nfeatures == 2
+    assert c.weak_feature_idx.tolist() == [1, 0]
+    assert c.weak_num_subsets.tolist() == [8, 8]
+    assert c.subsets[:2].tolist() == [-67130709, -21569]
+    assert np.isclose(c.weak_left_val[0], -0.6)
