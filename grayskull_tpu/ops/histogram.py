@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["histogram", "otsu_threshold"]
+__all__ = ["histogram", "otsu_threshold", "otsu_from_histogram"]
 
 
 @jax.jit
@@ -35,11 +35,17 @@ def _otsu_from_hist(hist: jnp.ndarray, total: jnp.ndarray) -> jnp.ndarray:
     bins_f = jnp.arange(256, dtype=jnp.float32)
     terms = bins_f * hist_f  # (float)i * hist[i] — product rounded to f32
 
+    # zero/False values *derived from the data* so the scan carries carry the
+    # same varying-manual-axes type as the scanned terms under shard_map
+    zf = terms[0] * jnp.float32(0.0)
+    zu = hist[0] * jnp.uint32(0)
+    zb = zu != zu
+
     # sum: sequential f32 accumulation in bin order (grayskull.h:210)
     def add(c, t):
         return c + t, None
 
-    total_sum, _ = jax.lax.scan(add, jnp.float32(0.0), terms)
+    total_sum, _ = jax.lax.scan(add, zf, terms)
 
     total_u = total.astype(jnp.uint32)
 
@@ -67,15 +73,24 @@ def _otsu_from_hist(hist: jnp.ndarray, total: jnp.ndarray) -> jnp.ndarray:
         return (wb2, sumB2, varMax2, thr2, done | brk), None
 
     ts = jnp.arange(256, dtype=jnp.uint32)
-    init = (
-        jnp.uint32(0),
-        jnp.float32(0.0),
-        jnp.float32(-1.0),
-        jnp.uint32(0),
-        jnp.bool_(False),
-    )
+    init = (zu, zf, zf + jnp.float32(-1.0), zu, zb)
     (wb, sumB, varMax, thr, done), _ = jax.lax.scan(step_exact, init, (ts, hist, terms))
     return thr.astype(jnp.uint8)
+
+
+@jax.jit
+def otsu_from_histogram(hist: jnp.ndarray, total) -> jnp.ndarray:
+    """Otsu sweep over precomputed histogram(s) — (..., 256) counts -> uint8.
+
+    ``total`` is the pixel count per image (scalar).  Used by fused pipelines
+    that produce histograms on device (e.g. the Pallas MXU histogram).
+    """
+    total = jnp.asarray(total, jnp.uint32)
+    if hist.ndim == 1:
+        return _otsu_from_hist(hist.astype(jnp.uint32), total)
+    flat = hist.reshape((-1, 256)).astype(jnp.uint32)
+    out = jax.vmap(lambda hh: _otsu_from_hist(hh, total))(flat)
+    return out.reshape(hist.shape[:-1])
 
 
 @jax.jit

@@ -215,14 +215,45 @@ def _clipped_window_sums(img: jnp.ndarray, radius: int):
     return s, count
 
 
+def _axis_counts(n: int, r: int) -> np.ndarray:
+    return (np.minimum(np.arange(n) + r, n - 1) - np.maximum(np.arange(n) - r, 0) + 1).astype(
+        np.float32
+    )
+
+
+def _blur_small(img: jnp.ndarray, r: int) -> jnp.ndarray:
+    """Separable shift-add blur for small radii — the TPU-fast path.
+
+    Integer division by the (constant) count grid: XLA strength-reduces constant
+    integer division to an exact multiply-shift.  (A float32 division here would
+    get rewritten to a reciprocal multiply, which rounds 119.9999 for an exact
+    120 — integer division is both exact and fast.)
+    """
+    h, w = img.shape[-2:]
+    lead = img.ndim - 2
+    x = img.astype(jnp.int32)
+    px = jnp.pad(x, [(0, 0)] * lead + [(0, 0), (r, r)])
+    rowsum = sum(px[..., :, k : k + w] for k in range(2 * r + 1))
+    py = jnp.pad(rowsum, [(0, 0)] * lead + [(r, r), (0, 0)])
+    colsum = sum(py[..., k : k + h, :] for k in range(2 * r + 1))
+    counts = jnp.asarray(
+        np.outer(_axis_counts(h, r), _axis_counts(w, r)).astype(np.int32)
+    )
+    return (colsum // counts).astype(jnp.uint8)
+
+
 @functools.partial(jax.jit, static_argnames=("radius",))
 def blur(img: jnp.ndarray, radius: int) -> jnp.ndarray:
     """Arbitrary-radius box mean with clipped windows — ``gs_blur`` (grayskull.h:268-283).
 
     Border pixels average over the clipped window (``sum/count`` with the true sample
     count), unlike ``filter`` which zero-pads.  Division truncates like C unsigned
-    division.
+    division.  Small radii use an exact separable float32 path (VPU-friendly);
+    large radii fall back to uint32 prefix sums.
     """
+    r = int(radius)
+    if r <= 15:  # (2r+1)^2 * 255 < 2^24 — f32 path exact
+        return _blur_small(img, r)
     s, count = _clipped_window_sums(img, radius)
     return (s // count).astype(jnp.uint8)
 

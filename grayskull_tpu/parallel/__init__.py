@@ -1,0 +1,22 @@
+"""Multi-chip scaling: mesh construction, sharded batch ops, spatial sharding
+with ICI halo exchange.
+
+The reference is single-threaded scalar C with no concurrency anywhere; these
+are the TPU-native parallel axes designed for this framework (SURVEY.md §2.3):
+
+* **data** — frame batches sharded across chips (embarrassingly parallel);
+* **space** — the H axis of large frames sharded across chips, with
+  ``lax.ppermute`` halo exchanges sized to each stencil's radius and ``psum``
+  reductions for global statistics (histograms/Otsu).
+"""
+
+from .mesh import make_mesh  # noqa: F401
+from .halo import exchange_halo  # noqa: F401
+from .sharded import preprocess_sharded, preprocess_spatial_shardmap  # noqa: F401
+
+__all__ = [
+    "make_mesh",
+    "exchange_halo",
+    "preprocess_sharded",
+    "preprocess_spatial_shardmap",
+]

@@ -2,12 +2,15 @@
 
 from .faces import detect_faces  # noqa: F401
 from .orb import extract_pyramid_orb, pyramid_levels, track  # noqa: F401
+from .preproc import preprocess, preprocess_reference  # noqa: F401
 from .scan import scan, preprocess_binarize  # noqa: F401
 
 __all__ = [
     "detect_faces",
     "extract_pyramid_orb",
+    "preprocess",
     "preprocess_binarize",
+    "preprocess_reference",
     "pyramid_levels",
     "scan",
     "track",

@@ -1,0 +1,61 @@
+"""Fused preprocessing pipeline tests.
+
+On CPU the pipeline uses the composed-XLA path (checked vs the C oracle);
+the Pallas kernels are checked against the XLA path when a TPU is present
+(see also the TPU runs in the benchmark).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+import grayskull_tpu as gs
+from grayskull_tpu.pipelines.preproc import preprocess, preprocess_reference
+
+
+def test_preprocess_reference_vs_oracle(oracle, testdata):
+    img = testdata["lena"]
+    blurred, binary, edges, t = preprocess_reference(img)
+    rb = oracle.blur(img, 2)
+    rt = oracle.otsu(rb)
+    rbin = oracle.threshold(rb, rt)
+    redge = oracle.sobel(rbin)
+    assert int(t) == rt
+    np.testing.assert_array_equal(np.asarray(blurred), rb)
+    np.testing.assert_array_equal(np.asarray(binary), rbin)
+    np.testing.assert_array_equal(np.asarray(edges), redge)
+
+
+def test_preprocess_batched(rng):
+    imgs = rng.integers(0, 256, (3, 64, 128), dtype=np.uint8)
+    out = preprocess(imgs)
+    for i in range(3):
+        single = preprocess(imgs[i])
+        for a, b in zip(out, single):
+            np.testing.assert_array_equal(np.asarray(a)[i], np.asarray(b))
+
+
+def _tpu_default():
+    d = jax.config.jax_default_device
+    return jax.default_backend() == "tpu" and (
+        d is None or getattr(d, "platform", "tpu") == "tpu"
+    )
+
+
+@pytest.mark.skipif(not _tpu_default(), reason="pallas kernels need TPU as default device")
+def test_pallas_matches_xla(rng):
+    imgs = rng.integers(0, 256, (2, 256, 256), dtype=np.uint8)
+    out_p = preprocess(imgs)
+    out_r = preprocess(imgs, force_xla=True)
+    for name, a, b in zip(("blurred", "binary", "edges", "t"), out_p, out_r):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
+
+
+def test_otsu_from_histogram_matches_otsu(rng):
+    from grayskull_tpu.ops.histogram import otsu_from_histogram
+
+    imgs = rng.integers(0, 256, (2, 32, 32), dtype=np.uint8)
+    h = gs.histogram(imgs)
+    t1 = otsu_from_histogram(h, 32 * 32)
+    t2 = gs.otsu_threshold(imgs)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
