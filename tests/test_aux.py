@@ -1,0 +1,54 @@
+"""Aux subsystem tests: profiling, debug utilities, stream demo plumbing."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+import grayskull_tpu as gs
+from grayskull_tpu import debug, profiling
+
+
+def test_timeit_and_throughput(rng):
+    imgs = rng.integers(0, 256, (2, 32, 64), dtype=np.uint8)
+    stats = profiling.throughput(lambda x: gs.blur(x, 1), imgs, iters=2, warmup=1)
+    assert stats["frames_per_sec"] > 0
+    assert stats["sec_per_batch"] > 0
+
+
+def test_dump(tmp_path, rng):
+    img = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    paths = debug.dump(img, "t", directory=str(tmp_path))
+    assert len(paths) == 1
+    np.testing.assert_array_equal(gs.io.read_pgm(paths[0]), img)
+    # float input gets normalized
+    paths = debug.dump(np.linspace(0, 1, 64).reshape(8, 8), "f", directory=str(tmp_path))
+    assert gs.io.read_pgm(paths[0]) is not None
+    # batch input
+    paths = debug.dump(np.stack([img, img]), "b", directory=str(tmp_path))
+    assert len(paths) == 2
+
+
+def test_draw_overlays(rng):
+    img = np.zeros((32, 32), np.uint8)
+    out = debug.draw_rects(img, [(2, 3, 10, 8)], color=200)
+    assert out[3, 2] == 200 and out[3, 12] == 200 and out[11, 2] == 200
+    out = debug.draw_crosses(img, [(16, 16)])
+    assert out[16, 16] == 255 and out[14, 16] == 255 and out[16, 18] == 255
+    assert img.max() == 0  # inputs untouched
+
+
+def test_stream_demo_runs(tmp_path):
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    proc = subprocess.run(
+        [sys.executable, "examples/stream_demo.py", "--pipeline",
+         "blur:1,threshold:otsu,blobs", "--frames", "2", "--size", "64x64",
+         "--out", str(tmp_path)],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-500:]
+    assert "blobs:" in proc.stdout
+    assert (tmp_path / "overlay.pgm").exists()
