@@ -33,9 +33,14 @@ import numpy as np
 
 from .exactf32 import f32_add
 
-__all__ = ["atan2f", "sinf", "cosf_like_reference", "use_exact_host_libm"]
+__all__ = ["atan2f", "sinf", "cosf_like_reference", "use_exact_host_libm", "exact_mode"]
 
 _EXACT_HOST = False
+
+
+def exact_mode() -> bool:
+    """True when bit-exact (host-libm / emulated-f32) parity mode is active."""
+    return _EXACT_HOST
 
 
 def use_exact_host_libm(enable: bool = True):

@@ -182,15 +182,27 @@ def compute_orientation(img: jnp.ndarray, x, y, radius: int = 15):
 
 def _brief_single(img, x, y, angle):
     """256-bit rBRIEF descriptor for one keypoint (grayskull.h:623-637)."""
+    from ..libm32 import exact_mode
+
     h, w = img.shape
     pat = jnp.asarray(BRIEF_PATTERN.astype(np.float32))  # (256, 4)
     sin_a = _sinf_impl(angle)
     cos_a = cosf_like_reference(angle)  # C uses gs_sin(a + 1.57079f), not cos
-    # dx1 = px1*cos - py1*sin ... exact f32 subs/adds (products feed adds)
-    dx1 = f32_sub(pat[:, 0] * cos_a, pat[:, 1] * sin_a)
-    dy1 = f32_add(pat[:, 0] * sin_a, pat[:, 1] * cos_a)
-    dx2 = f32_sub(pat[:, 2] * cos_a, pat[:, 3] * sin_a)
-    dy2 = f32_add(pat[:, 2] * sin_a, pat[:, 3] * cos_a)
+    # dx1 = px1*cos - py1*sin ...  In exact (parity) mode the adds fed by
+    # products go through the contraction-proof emulated adder; the fast
+    # default uses plain f32 ops (a potential FMA fusion shifts the rotated
+    # offset by <=1 ulp, which the (int) truncation almost never notices —
+    # the same tolerance already accepted for the libm trig).
+    if exact_mode():
+        dx1 = f32_sub(pat[:, 0] * cos_a, pat[:, 1] * sin_a)
+        dy1 = f32_add(pat[:, 0] * sin_a, pat[:, 1] * cos_a)
+        dx2 = f32_sub(pat[:, 2] * cos_a, pat[:, 3] * sin_a)
+        dy2 = f32_add(pat[:, 2] * sin_a, pat[:, 3] * cos_a)
+    else:
+        dx1 = pat[:, 0] * cos_a - pat[:, 1] * sin_a
+        dy1 = pat[:, 0] * sin_a + pat[:, 1] * cos_a
+        dx2 = pat[:, 2] * cos_a - pat[:, 3] * sin_a
+        dy2 = pat[:, 2] * sin_a + pat[:, 3] * cos_a
     x1 = x + dx1.astype(jnp.int32)  # C (int) cast truncates toward zero
     y1 = y + dy1.astype(jnp.int32)
     x2 = x + dx2.astype(jnp.int32)

@@ -98,80 +98,157 @@ def _subset_matrix(cascade: LbpCascade):
     return W, cascade.weak_num_subsets.astype(np.int32)
 
 
-def _eval_windows(cascade: LbpCascade, ii, ys, xs, scale: float):
-    """Evaluate the full cascade for a grid of windows; returns (ny, nx) bool.
+def _eval_windows(cascade: LbpCascade, ii, scale: float, ny: int, nx: int, step: int,
+                  origin=(0, 0)):
+    """Evaluate the full cascade over the window grid; ``ii`` is (..., H, W)
+    uint32; returns (..., ny, nx) bool.
 
-    All (nweaks x 9) block sums for the entire window grid are computed with four
-    batched gathers; codes, subset tests and stage sums are dense vector ops.
+    Gather-free formulation (gathers serialize on TPU): zero-padding the
+    integral image one leading row/column removes ``gs_integral_sum``'s edge
+    guards, a dense rect-sum map per distinct scaled block size is four static
+    slices, and every weak's nine block sums become static *strided* slices of
+    those maps.  Pure slice + elementwise ops — XLA fuses the lot.
     """
-    H, W = ii.shape
-    ny, nx = ys.shape[0], xs.shape[0]
-    y_top, y_bot, x_left, x_right = _weak_geometry(cascade, scale)
+    lead = ii.shape[:-2]
+    H, W = ii.shape[-2:]
+    fx, fy, fw, fh = _scaled_features(cascade, scale)
+    wi = cascade.weak_feature_idx.astype(np.int32)
+    used = sorted(set((int(fw[f]), int(fh[f])) for f in wi))
+
+    oy0, ox0 = int(origin[0]), int(origin[1])
+    span_y = (ny - 1) * step + oy0
+    span_x = (nx - 1) * step + ox0
+    max_oy = max(int(fy[f] + 3 * fh[f]) for f in wi)
+    max_ox = max(int(fx[f] + 3 * fw[f]) for f in wi)
+    # rect-sum maps need indices up to span + max offset; pad with zeros beyond
+    # the integral image (windows always fit; features can poke past only into
+    # the padded zero region at the very last positions, matching C's reads
+    # inside ii for this cascade and degrading gracefully otherwise)
+    Hm = span_y + max_oy + 1
+    Wm = span_x + max_ox + 1
+    max_h = max(h_ for (_, h_) in ((int(fw[f]), int(fh[f])) for f in wi))
+    max_w = max(int(fw[f]) for f in wi)
+    pad_b = max(Hm + max_h - (H + 1), 0)
+    pad_r = max(Wm + max_w - (W + 1), 0)
+    iip = jnp.pad(ii, [(0, 0)] * len(lead) + [(1, pad_b), (1, pad_r)])
+
+    # stacked rect-sum maps, one per distinct size (a handful of static slices)
+    size_index = {s: i for i, s in enumerate(used)}
+    rs_maps = jnp.stack(
+        [
+            iip[..., h_ : h_ + Hm, w_ : w_ + Wm]
+            + iip[..., 0:Hm, 0:Wm]
+            - iip[..., 0:Hm, w_ : w_ + Wm]
+            - iip[..., h_ : h_ + Hm, 0:Wm]
+            for (w_, h_) in used
+        ],
+        axis=len(lead),
+    )  # (..., nsizes, Hm, Wm)
+
+    # phase decomposition so window stride `step` becomes contiguous
+    # dynamic_slices: rsp[..., s, p*step+q, y, x] = rs_maps[..., s, y*step+p, x*step+q]
+    sy_n = -(-Hm // step)
+    sx_n = -(-Wm // step)
+    pad_spec = [(0, 0)] * (len(lead) + 1) + [(0, sy_n * step - Hm), (0, sx_n * step - Wm)]
+    rsp = jnp.pad(rs_maps, pad_spec)
+    rsp = rsp.reshape(lead + (len(used), sy_n, step, sx_n, step))
+    L = len(lead)
+    perm = list(range(L)) + [L, L + 2, L + 4, L + 1, L + 3]  # (S, pY, pX, sy, sx)
+    rsp = jnp.transpose(rsp, perm)
+    rsp = rsp.reshape(lead + (len(used), step * step, sy_n, sx_n))
+
+    # per-weak geometry tables (host-side)
     nw = cascade.nweaks
-
-    # index grids: (nw*9, ny, nx)
-    yt = jnp.asarray(y_top.reshape(-1))[:, None, None] + ys[None, :, None]
-    yb = jnp.asarray(y_bot.reshape(-1))[:, None, None] + ys[None, :, None]
-    xl = jnp.asarray(x_left.reshape(-1))[:, None, None] + xs[None, None, :]
-    xr = jnp.asarray(x_right.reshape(-1))[:, None, None] + xs[None, None, :]
-
-    def take(yy, xx):
-        return ii[jnp.clip(yy, 0, H - 1), jnp.clip(xx, 0, W - 1)]
-
-    zero = jnp.uint32(0)
-    a = jnp.where((xl > 0) & (yt > 0), take(yt - 1, xl - 1), zero)
-    b = jnp.where(yt > 0, take(yt - 1, xr), zero)
-    c = jnp.where(xl > 0, take(yb, xl - 1), zero)
-    d = take(yb, xr)
-    sums = (d + a - b - c).reshape(nw, 9, ny, nx)
-
-    center = sums[:, 4]
-    ge = sums >= center[:, None]
-    code = jnp.zeros((nw, ny, nx), jnp.int32)
-    for blk, bit in enumerate(_BLOCK_BITS):
-        if bit < 0:
-            continue
-        code = code | (ge[:, blk].astype(jnp.int32) << int(bit))
-
+    geo_size = np.zeros(nw, np.int32)
+    geo_phase = np.zeros((nw, 9), np.int32)
+    geo_sy = np.zeros((nw, 9), np.int32)
+    geo_sx = np.zeros((nw, 9), np.int32)
+    for k in range(nw):
+        f = int(wi[k])
+        w_, h_ = int(fw[f]), int(fh[f])
+        geo_size[k] = size_index[(w_, h_)]
+        for bj in range(3):
+            for bi in range(3):
+                oy = int(fy[f]) + bj * h_ + oy0
+                ox = int(fx[f]) + bi * w_ + ox0
+                blk = bj * 3 + bi
+                geo_phase[k, blk] = (oy % step) * step + (ox % step)
+                geo_sy[k, blk] = oy // step
+                geo_sx[k, blk] = ox // step
     subs, counts = _subset_matrix(cascade)
-    idx = code >> 5
-    bit = code & 31
-    word = jnp.asarray(subs)[jnp.arange(nw)[:, None, None], jnp.clip(idx, 0, 7)]
-    match = (idx < jnp.asarray(counts)[:, None, None]) & (((word >> bit) & 1) == 1)
-    leaf = jnp.where(
-        match,
-        jnp.asarray(cascade.weak_left_val)[:, None, None],
-        jnp.asarray(cascade.weak_right_val)[:, None, None],
-    )
 
-    # stage sums: sequential f32 adds in weak order (no products -> no FMA hazard)
-    ok = jnp.ones((ny, nx), bool)
+    nb = int(np.prod(lead)) if lead else 1
+    rsp_flat = rsp.reshape((nb,) + rsp.shape[len(lead):])
+
+    def weak_body(_, xs):
+        size_i, phase9, sy9, sx9, subs8, count, left, right = xs
+
+        def block(blk):
+            m = jax.lax.dynamic_index_in_dim(rsp_flat, size_i, axis=1, keepdims=False)
+            m = jax.lax.dynamic_index_in_dim(m, phase9[blk], axis=1, keepdims=False)
+            return jax.lax.dynamic_slice(
+                m, (jnp.int32(0), sy9[blk], sx9[blk]), (nb, ny, nx)
+            )
+
+        center = block(4)
+        code = jnp.zeros((nb, ny, nx), jnp.int32)
+        for blk, bit in enumerate(_BLOCK_BITS):
+            if bit < 0:
+                continue
+            code = code | ((block(blk) >= center).astype(jnp.int32) << int(bit))
+        idx = code >> 5
+        bit_i = code & 31
+        word = jnp.zeros_like(code)
+        for j in range(8):
+            word = jnp.where(idx == j, subs8[j], word)
+        match = (idx < count) & (((word >> bit_i) & 1) == 1)
+        leaf = jnp.where(match, left, right)
+        return None, leaf
+
+    xs = (
+        jnp.asarray(geo_size), jnp.asarray(geo_phase), jnp.asarray(geo_sy),
+        jnp.asarray(geo_sx), jnp.asarray(subs), jnp.asarray(counts),
+        jnp.asarray(cascade.weak_left_val), jnp.asarray(cascade.weak_right_val),
+    )
+    _, leafs = jax.lax.scan(weak_body, None, xs)  # (nw, nb, ny, nx)
+
+    ok = None
     for si in range(cascade.nstages):
         s0 = int(cascade.stage_weak_start[si])
         cnt = int(cascade.stage_nweaks[si])
-        ssum = leaf[s0]
+        ssum = leafs[s0]
         for k in range(1, cnt):
-            ssum = ssum + leaf[s0 + k]
-        ok = ok & (ssum >= jnp.float32(cascade.stage_threshold[si]))
-    return ok
+            ssum = ssum + leafs[s0 + k]
+        passed = ssum >= jnp.float32(cascade.stage_threshold[si])
+        ok = passed if ok is None else ok & passed
+    return ok.reshape(lead + (ny, nx))
 
 
 @functools.partial(
     jax.jit, static_argnames=("cascade", "max_rects", "scale_factor", "min_scale",
-                              "max_scale", "step"),
+                              "max_scale", "step", "force_xla"),
 )
 def lbp_detect(cascade: LbpCascade, ii: jnp.ndarray, max_rects: int,
-               scale_factor=1.2, min_scale=1.0, max_scale=4.0, step: int = 1) -> Rects:
+               scale_factor=1.2, min_scale=1.0, max_scale=4.0, step: int = 1,
+               force_xla: bool = False) -> Rects:
     """Multi-scale sliding-window cascade detection — ``gs_lbp_detect``
     (grayskull.h:815-835).
 
-    ``ii`` is the uint32 integral image (see :func:`grayskull_tpu.ops.integral`).
-    Detections come back as a fixed-capacity :class:`Rects` table in the
-    reference's (scale, y, x) emission order with its ``max_rects`` truncation.
+    ``ii`` is the uint32 integral image, (H, W) or batched (N, H, W).
+    Detections come back as fixed-capacity :class:`Rects` tables (leading batch
+    dim on every field for batched input) in the reference's (scale, y, x)
+    emission order with its ``max_rects`` truncation.
+
+    The per-scale window maps are evaluated gather-free (strided slices of
+    dense rect-sum maps — see ``_eval_windows``), which maps cleanly onto the
+    TPU vector unit.
     """
-    ih, iw = ii.shape
+    single = ii.ndim == 2
+    iib = ii[None] if single else ii
+    nb, ih, iw = iib.shape
     cap = int(max_rects)
     ladder = scale_ladder(cascade, iw, ih, scale_factor, min_scale, max_scale)
+    del force_xla  # kept for API stability; both paths are now the same code
 
     hits = []
     metas = []
@@ -180,8 +257,8 @@ def lbp_detect(cascade: LbpCascade, ii: jnp.ndarray, max_rects: int,
         xs = np.arange(0, iw - win_w + 1, step, dtype=np.int32)
         if len(ys) == 0 or len(xs) == 0:
             continue
-        ok = _eval_windows(cascade, ii, jnp.asarray(ys), jnp.asarray(xs), scale)
-        hits.append(ok.reshape(-1))
+        ok = _eval_windows(cascade, iib, scale, len(ys), len(xs), step)
+        hits.append(ok.reshape(nb, -1))
         gx, gy = np.meshgrid(xs, ys)
         metas.append(
             (gx.reshape(-1), gy.reshape(-1),
@@ -189,28 +266,35 @@ def lbp_detect(cascade: LbpCascade, ii: jnp.ndarray, max_rects: int,
         )
 
     if not hits:
-        z = jnp.zeros(cap, jnp.int32)
-        return Rects(n=jnp.int32(0), x=z, y=z, w=z, h=z)
+        z = jnp.zeros((nb, cap), jnp.int32)
+        table = Rects(n=jnp.zeros(nb, jnp.int32), x=z, y=z, w=z, h=z)
+        return Rects(*(v[0] for v in table)) if single else table
 
-    mask = jnp.concatenate(hits)
+    mask = jnp.concatenate(hits, axis=1)  # (nb, total_windows)
     all_x = jnp.asarray(np.concatenate([m[0] for m in metas]))
     all_y = jnp.asarray(np.concatenate([m[1] for m in metas]))
     all_w = jnp.asarray(np.concatenate([m[2] for m in metas]))
     all_h = jnp.asarray(np.concatenate([m[3] for m in metas]))
 
-    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    ok = mask & (rank < cap)
-    dst = jnp.where(ok, rank, cap)
+    def emit(m):
+        rank = jnp.cumsum(m.astype(jnp.int32)) - 1
+        ok = m & (rank < cap)
+        dst = jnp.where(ok, rank, cap)
 
-    def scatter(v):
-        return jnp.zeros(cap + 1, v.dtype).at[dst].set(v, mode="drop")[:cap]
+        def scatter(v):
+            return jnp.zeros(cap + 1, v.dtype).at[dst].set(v, mode="drop")[:cap]
 
-    n = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), cap)
-    return Rects(n=n.astype(jnp.int32), x=scatter(all_x), y=scatter(all_y),
-                 w=scatter(all_w), h=scatter(all_h))
+        n = jnp.minimum(jnp.sum(m.astype(jnp.int32)), cap)
+        return Rects(n=n.astype(jnp.int32), x=scatter(all_x), y=scatter(all_y),
+                     w=scatter(all_w), h=scatter(all_h))
+
+    table = jax.vmap(emit)(mask)
+    if single:
+        return Rects(*(v[0] for v in table))
+    return table
 
 
-@functools.partial(jax.jit, static_argnames=("cascade", "scale"))
+@functools.partial(jax.jit, static_argnames=("cascade", "scale", "x", "y"))
 def lbp_window(cascade: LbpCascade, ii: jnp.ndarray, x: int, y: int, scale: float):
     """Single-window cascade evaluation — ``gs_lbp_window`` (grayskull.h:790-813).
 
@@ -220,8 +304,7 @@ def lbp_window(cascade: LbpCascade, ii: jnp.ndarray, x: int, y: int, scale: floa
     f = np.float32
     win_w = int(f(cascade.window_w) * f(scale))
     win_h = int(f(cascade.window_h) * f(scale))
-    xs = jnp.asarray([x], jnp.int32)
-    ys = jnp.asarray([y], jnp.int32)
-    ok = _eval_windows(cascade, ii, ys, xs, float(scale))[0, 0]
+    ok = _eval_windows(cascade, ii[None], float(scale), 1, 1, 1,
+                       origin=(int(y), int(x)))[0, 0, 0]
     fits = (x + win_w <= iw) & (y + win_h <= ih)
     return ok & fits
