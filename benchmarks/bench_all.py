@@ -1,0 +1,140 @@
+#!/usr/bin/env python3
+"""Full benchmark suite: every BASELINE.json metric, with C-reference comparison.
+
+Measures on the default JAX backend (TPU when available):
+
+1. fused blur(2) -> Otsu -> threshold -> sobel throughput (1MP frames/sec)
+2. ORB extraction (keypoints/sec on 640x480)
+3. LBP cascade detection (windows/sec on 640x480, full scale ladder)
+4. document scanner end-to-end latency
+5. single-op throughputs (blur, sobel, histogram, integral)
+
+When the reference checkout + compiler are present, the same workloads run
+through the C oracle for a single-core comparison column.
+
+Run: ``python benchmarks/bench_all.py [--quick]``; writes benchmarks/results.json.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.join(HERE, ".."))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+import grayskull_tpu as gs  # noqa: E402
+from grayskull_tpu.cascade import load_frontalface  # noqa: E402
+from grayskull_tpu.ops.lbp import lbp_detect, scale_ladder  # noqa: E402
+from grayskull_tpu.pipelines.preproc import preprocess  # noqa: E402
+from grayskull_tpu.profiling import timeit  # noqa: E402
+
+
+def load_oracle():
+    sys.path.insert(0, os.path.join(HERE, ".."))
+    try:
+        from tests import oracle as om
+
+        return om.load(os.environ.get("GRAYSKULL_REF", "/root/reference"))
+    except Exception:
+        return None
+
+
+def tile_frame(h, w):
+    ref = os.environ.get("GRAYSKULL_REF", "/root/reference")
+    p = os.path.join(ref, "testdata", "lena.pgm")
+    if os.path.exists(p):
+        t = gs.io.read_pgm(p)
+        reps = (-(-h // t.shape[0]), -(-w // t.shape[1]))
+        return np.tile(t, reps)[:h, :w]
+    return np.random.default_rng(0).integers(0, 256, (h, w), dtype=np.uint8)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    on_tpu = jax.default_backend() == "tpu"
+    iters = 3 if args.quick else 10
+    results = {"backend": jax.default_backend(), "device": str(jax.devices()[0])}
+    orc = load_oracle()
+
+    # 1. fused preprocess, 1MP frames
+    n = (64 if on_tpu else 2) if not args.quick else (16 if on_tpu else 2)
+    frame = tile_frame(1024, 1024)
+    batch = jnp.asarray(np.stack([np.roll(frame, 13 * i, axis=1) for i in range(n)]))
+    dt = timeit(preprocess, batch, iters=iters)
+    results["preprocess_1MP_fps"] = n / dt
+    if orc:
+        t0 = time.perf_counter()
+        b = orc.blur(frame, 2)
+        tt = orc.otsu(b)
+        bn = orc.threshold(b, tt)
+        orc.sobel(bn)
+        results["preprocess_1MP_fps_c_reference"] = 1 / (time.perf_counter() - t0)
+
+    # 2. ORB extraction on 640x480
+    scene = tile_frame(480, 640)
+    dt = timeit(lambda im: gs.ops.orb_extract(im, 500, 20), jnp.asarray(scene), iters=iters)
+    kps = gs.ops.orb_extract(jnp.asarray(scene), 500, 20)
+    nk = int(kps.n)
+    results["orb_extract_640x480_fps"] = 1 / dt
+    results["orb_keypoints_per_sec"] = nk / dt
+    if orc:
+        t0 = time.perf_counter()
+        orc.orb_extract(scene, 500, 20)
+        c_dt = time.perf_counter() - t0
+        results["orb_keypoints_per_sec_c_reference"] = nk / c_dt
+
+    # 3. LBP detection on 640x480, full ladder, step 1
+    casc = load_frontalface()
+    nb = 8 if on_tpu else 1
+    fb = np.stack([np.roll(scene, 7 * i, axis=1) for i in range(nb)])
+    iib = jnp.asarray(np.asarray(gs.integral(fb)))
+    lad = scale_ladder(casc, 640, 480, 1.2, 1.0, 4.0)
+    nwin = sum(((480 - wh) // 1 + 1) * ((640 - ww) // 1 + 1) for _, ww, wh in lad)
+    dt = timeit(lambda x: lbp_detect(casc, x, 100, 1.2, 1.0, 4.0, 1), iib, iters=iters)
+    results["lbp_windows_per_sec"] = nb * nwin / dt
+    results["lbp_640x480_fps"] = nb / dt
+    if orc:
+        ii1 = np.asarray(gs.integral(scene))
+        t0 = time.perf_counter()
+        orc.lbp_detect(ii1, 100, 1.2, 1.0, 4.0, 1)
+        results["lbp_windows_per_sec_c_reference"] = nwin / (time.perf_counter() - t0)
+
+    # 4. document scanner
+    ref = os.environ.get("GRAYSKULL_REF", "/root/reference")
+    doc_path = os.path.join(ref, "testdata", "document.pgm")
+    if os.path.exists(doc_path):
+        doc = gs.io.read_pgm(doc_path)
+        dt = timeit(lambda im: gs.pipelines.scan(im), jnp.asarray(doc), iters=iters)
+        results["document_scan_latency_ms"] = dt * 1e3
+
+    # 5. single ops on the 1MP batch
+    for name, fn in [
+        ("blur_r2", lambda x: gs.blur(x, 2)),
+        ("sobel", gs.sobel),
+        ("histogram", gs.histogram),
+        ("integral", gs.integral),
+        ("otsu", gs.otsu_threshold),
+    ]:
+        dt = timeit(fn, batch, iters=iters)
+        results[f"op_{name}_1MP_fps"] = n / dt
+
+    for k, v in results.items():
+        if isinstance(v, float):
+            results[k] = round(v, 2)
+    out = os.path.join(HERE, "results.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

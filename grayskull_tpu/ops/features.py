@@ -166,17 +166,60 @@ def _orientation_single(img, x, y, r: int):
     return _atan2f_impl(m01.astype(jnp.float32), m10.astype(jnp.float32))
 
 
+def _orientation_maps(img, r: int):
+    """Dense m01/m10 disc-moment maps, exact int32, gather-free.
+
+    Per-keypoint patch gathers serialize on TPU (and a dense conv lowers
+    poorly for a single channel), so the disc is decomposed by rows: with
+    ``w(dy) = floor(sqrt(r^2 - dy^2))`` the moments are sums over 2r+1 rows of
+    windowed row sums, which come from (weighted) row prefix sums as shifted
+    slices.  Valid for keypoints >= r from the border (the C contract); border
+    values are garbage-but-unused.
+    """
+    H, W = img.shape
+    x = img.astype(jnp.int32)
+    cols = jnp.arange(W, dtype=jnp.int32)[None, :]
+    # prefix sums with one leading zero column
+    P = jnp.pad(jnp.cumsum(x, axis=1), ((0, 0), (1, 0)))
+    U = jnp.pad(jnp.cumsum(cols * x, axis=1), ((0, 0), (1, 0)))
+    # pad rows for dy shifts and columns for window ends (zeros: unused at borders)
+    Pp = jnp.pad(P, ((r, r), (r, r)))
+    Up = jnp.pad(U, ((r, r), (r, r)))
+    xs = cols  # (1, W)
+
+    m01 = jnp.zeros((H, W), jnp.int32)
+    m10 = jnp.zeros((H, W), jnp.int32)
+    for dy in range(-r, r + 1):
+        wd = int(np.floor(np.sqrt(r * r - dy * dy)))
+        rlo = r + dy
+        s = (
+            Pp[rlo : rlo + H, r + wd + 1 : r + wd + 1 + W]
+            - Pp[rlo : rlo + H, r - wd : r - wd + W]
+        )
+        u = (
+            Up[rlo : rlo + H, r + wd + 1 : r + wd + 1 + W]
+            - Up[rlo : rlo + H, r - wd : r - wd + W]
+        )
+        m01 = m01 + dy * s
+        m10 = m10 + (u - xs * s)
+    return m01.astype(jnp.float32), m10.astype(jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("radius",))
 def compute_orientation(img: jnp.ndarray, x, y, radius: int = 15):
     """Intensity-centroid orientation — ``gs_compute_orientation``.
 
-    ``x, y`` may be scalars or arrays (vmapped).  Keypoints must be >= radius
-    from the border (asserted in C).
+    ``x, y`` may be scalars or arrays.  Keypoints must be >= radius from the
+    border (asserted in C).  Array inputs use dense moment maps (MXU convs +
+    two scalar gathers per keypoint); scalars use a single-patch reduction.
     """
     x = jnp.asarray(x, jnp.int32)
     y = jnp.asarray(y, jnp.int32)
     if x.ndim == 0:
         return _orientation_single(img, x, y, radius)
+    if x.shape[0] >= 32:
+        m01, m10 = _orientation_maps(img, radius)
+        return _atan2f_impl(m01[y, x], m10[y, x])
     return jax.vmap(lambda xx, yy: _orientation_single(img, xx, yy, radius))(x, y)
 
 

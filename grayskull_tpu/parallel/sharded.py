@@ -83,8 +83,13 @@ def _spatial_pipeline(imgs_local, *, h: int, w: int, radius: int, space_axis: st
     blurred = (colsum // counts[None]).astype(jnp.uint8)
 
     # ---- otsu: local histogram + psum ----
-    flat = blurred.reshape(n_loc, -1).astype(jnp.int32)
-    local_hist = jax.vmap(lambda f: jnp.bincount(f, length=256))(flat)
+    from ..ops.histogram import _hist_nibble_matmul
+
+    flat = blurred.reshape(n_loc, -1)
+    if jax.default_backend() == "tpu":
+        local_hist = _hist_nibble_matmul(flat).astype(jnp.int32)
+    else:
+        local_hist = jax.vmap(lambda f: jnp.bincount(f, length=256))(flat.astype(jnp.int32))
     hist = lax.psum(local_hist, space_axis)
     t = otsu_from_histogram(hist, h * w)  # replicated across shards
 
