@@ -263,10 +263,24 @@ def adaptive_threshold(img: jnp.ndarray, radius: int, c) -> jnp.ndarray:
     """Mean-offset adaptive threshold — ``gs_adaptive_threshold`` (grayskull.h:230-247).
 
     ``threshold = sum/count - c`` with C unsigned division then int subtraction;
-    output is ``src > threshold ? 255 : 0``.
+    output is ``src > threshold ? 255 : 0``.  Small radii use the separable
+    shift-add path (see :func:`blur`), large radii the prefix-sum path.
     """
-    s, count = _clipped_window_sums(img, radius)
-    thr = (s // count).astype(jnp.int32) - jnp.asarray(c, jnp.int32)
+    r = int(radius)
+    if r <= 15:
+        h, w = img.shape[-2:]
+        lead = img.ndim - 2
+        x = img.astype(jnp.int32)
+        px = jnp.pad(x, [(0, 0)] * lead + [(0, 0), (r, r)])
+        rowsum = sum(px[..., :, k : k + w] for k in range(2 * r + 1))
+        py = jnp.pad(rowsum, [(0, 0)] * lead + [(r, r), (0, 0)])
+        s = sum(py[..., k : k + h, :] for k in range(2 * r + 1))
+        count = jnp.asarray(np.outer(_axis_counts(h, r), _axis_counts(w, r)).astype(np.int32))
+    else:
+        s, count = _clipped_window_sums(img, radius)
+        s = s.astype(jnp.int32)
+        count = count.astype(jnp.int32)
+    thr = (s // count) - jnp.asarray(c, jnp.int32)
     return jnp.where(img.astype(jnp.int32) > thr, jnp.uint8(255), jnp.uint8(0))
 
 

@@ -52,7 +52,7 @@ def test_spatial_blur_various_radii(cpu8, rng):
     from functools import partial
 
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from grayskull_tpu.parallel.sharded import _spatial_pipeline
@@ -69,7 +69,7 @@ def test_spatial_blur_various_radii(cpu8, rng):
 def test_halo_exchange_roundtrip(cpu8):
     # halo rows must come from ring neighbors, zeros at global edges
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     mesh = make_mesh((8,), axis_names=("space",), devices=cpu8)
