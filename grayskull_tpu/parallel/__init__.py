@@ -12,11 +12,16 @@ are the TPU-native parallel axes designed for this framework (SURVEY.md §2.3):
 
 from .mesh import make_mesh  # noqa: F401
 from .halo import exchange_halo  # noqa: F401
-from .sharded import preprocess_sharded, preprocess_spatial_shardmap  # noqa: F401
+from .sharded import (  # noqa: F401
+    integral_sharded,
+    preprocess_sharded,
+    preprocess_spatial_shardmap,
+)
 
 __all__ = [
     "make_mesh",
     "exchange_halo",
+    "integral_sharded",
     "preprocess_sharded",
     "preprocess_spatial_shardmap",
 ]

@@ -31,7 +31,37 @@ from jax import shard_map
 from ..ops.histogram import otsu_from_histogram
 from .halo import exchange_halo
 
-__all__ = ["preprocess_sharded", "preprocess_spatial_shardmap"]
+__all__ = ["preprocess_sharded", "preprocess_spatial_shardmap", "integral_sharded"]
+
+
+def _integral_local_with_carry(x_local, space_axis: str):
+    """Distributed 2D prefix sum: local scan + exclusive carry over the shard axis.
+
+    The reference's sequential two-pass integral (grayskull.h:744-752) becomes a
+    segmented associative scan: each shard integrates its rows locally, then adds
+    the all-gathered column totals of the shards above it (one ICI collective).
+    """
+    local = jnp.cumsum(jnp.cumsum(x_local.astype(jnp.uint32), axis=-1), axis=-2)
+    last = local[..., -1, :]  # (..., w): this shard's total column sums
+    gathered = lax.all_gather(last, space_axis)  # (nshards, ..., w)
+    idx = lax.axis_index(space_axis)
+    nsh = lax.axis_size(space_axis)
+    shard_ids = jnp.arange(nsh)
+    mask = (shard_ids < idx).astype(jnp.uint32)
+    carry = jnp.tensordot(mask, gathered, axes=(0, 0))  # exclusive prefix
+    return local + carry[..., None, :]
+
+
+def integral_sharded(imgs, mesh: Mesh, data_axis: str = "data", space_axis: str = "space"):
+    """Integral images of H-sharded frames — bit-identical to ``gs.integral``.
+
+    ``imgs``: (N, H, W) uint8, N divisible by the data axis, H by the space axis.
+    """
+    body = functools.partial(_integral_local_with_carry, space_axis=space_axis)
+    spec = P(data_axis, space_axis, None)
+    fn = shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=spec)
+    imgs = jax.device_put(imgs, NamedSharding(mesh, spec))
+    return jax.jit(fn)(imgs)
 
 
 def preprocess_sharded(imgs, mesh: Mesh, radius: int = 2, data_axis: str = "data"):

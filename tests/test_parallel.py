@@ -11,6 +11,7 @@ import pytest
 import grayskull_tpu as gs
 from grayskull_tpu.parallel import (
     exchange_halo,
+    integral_sharded,
     make_mesh,
     preprocess_sharded,
     preprocess_spatial_shardmap,
@@ -64,6 +65,17 @@ def test_spatial_blur_various_radii(cpu8, rng):
         ref = preprocess_reference(imgs, radius=r)
         for a, b in zip(out, ref):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=f"r={r}")
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
+def test_integral_sharded(cpu8, rng, mesh_shape):
+    mesh = make_mesh(mesh_shape, devices=cpu8)
+    n = 2 * mesh_shape[0]
+    h = 16 * mesh_shape[1]
+    imgs = rng.integers(0, 256, (n, h, 48), dtype=np.uint8)
+    out = integral_sharded(imgs, mesh)
+    ref = gs.integral(imgs)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
 def test_halo_exchange_roundtrip(cpu8):
