@@ -47,8 +47,10 @@ def _round8(v: int) -> int:
 
 def _blur_hist_kernel(x_ref, blur_ref, hist_ref, *, r: int, h: int, w: int, load_rows: int):
     nstrips = h // _STRIP
+    mask4 = jnp.int32(0x0F0F0F0F)
 
     def strip(si, carry):
+        hist_acc, acc_e, acc_o = carry
         y0 = si * _STRIP
         rows = x_ref[0, pl.ds(y0, load_rows), :].astype(jnp.int32)
         rows = rows[: _STRIP + 2 * r]
@@ -66,8 +68,10 @@ def _blur_hist_kernel(x_ref, blur_ref, hist_ref, *, r: int, h: int, w: int, load
         blurred = cs // (cy * cx)
         blur_ref[0, pl.ds(y0, _STRIP), :] = blurred.astype(jnp.uint8)
 
-        # SWAR histogram over this strip, _HSR rows at a time
-        acc = carry
+        # SWAR histogram: level 1 packs 8 bins as 4-bit fields per int32 word
+        # (counts <= _HSR = 8 per field, no cross-field carry); level 2 expands
+        # to 8-bit fields accumulated across the strip (counts <= 128), so the
+        # expensive lane-reduction flush happens once per frame, not per strip.
         for sub in range(_STRIP // _HSR):
             seg = blurred[sub * _HSR : (sub + 1) * _HSR]
             word = seg >> 3
@@ -77,13 +81,24 @@ def _blur_hist_kernel(x_ref, blur_ref, hist_ref, *, r: int, h: int, w: int, load
                 for k in range(32)
             ]
             packs = jnp.concatenate(packs, axis=0)  # (32, w)
-            fields = [
-                jnp.sum((packs >> (4 * f)) & 15, axis=1, keepdims=True) for f in range(8)
-            ]
-            acc = acc + jnp.concatenate(fields, axis=1)  # (32, 8)
-        return acc
+            acc_e = acc_e + (packs & mask4)  # fields 0,2,4,6 in byte slots
+            acc_o = acc_o + ((packs >> 4) & mask4)  # fields 1,3,5,7
+        # flush every strip's level-2 bytes into the 32-bit histogram
+        # (counts per byte <= 8 * 16 = 128 per strip, safe)
+        fields = []
+        for f in range(4):
+            fields.append(jnp.sum((acc_e >> (8 * f)) & 255, axis=1, keepdims=True))
+            fields.append(jnp.sum((acc_o >> (8 * f)) & 255, axis=1, keepdims=True))
+        # field order: e0=bin0, o0=bin1, e1=bin2, o1=bin3, ...
+        hist_acc = hist_acc + jnp.concatenate(fields, axis=1)
+        zero = jnp.zeros((32, w), jnp.int32)
+        return hist_acc, zero, zero
 
-    hist = jax.lax.fori_loop(0, nstrips, strip, jnp.zeros((32, 8), jnp.int32))
+    hist, _, _ = jax.lax.fori_loop(
+        0, nstrips, strip,
+        (jnp.zeros((32, 8), jnp.int32), jnp.zeros((32, w), jnp.int32),
+         jnp.zeros((32, w), jnp.int32)),
+    )
     hist_ref[0] = hist
 
 

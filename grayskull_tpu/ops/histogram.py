@@ -66,7 +66,7 @@ def _otsu_from_hist(hist: jnp.ndarray, total: jnp.ndarray) -> jnp.ndarray:
     def add(c, t):
         return c + t, None
 
-    total_sum, _ = jax.lax.scan(add, zf, terms)
+    total_sum, _ = jax.lax.scan(add, zf, terms, unroll=16)
 
     total_u = total.astype(jnp.uint32)
 
@@ -95,7 +95,10 @@ def _otsu_from_hist(hist: jnp.ndarray, total: jnp.ndarray) -> jnp.ndarray:
 
     ts = jnp.arange(256, dtype=jnp.uint32)
     init = (zu, zf, zf + jnp.float32(-1.0), zu, zb)
-    (wb, sumB, varMax, thr, done), _ = jax.lax.scan(step_exact, init, (ts, hist, terms))
+    # unroll: the per-step work is tiny, TPU sequential-step overhead dominates
+    (wb, sumB, varMax, thr, done), _ = jax.lax.scan(
+        step_exact, init, (ts, hist, terms), unroll=16
+    )
     return thr.astype(jnp.uint8)
 
 
