@@ -34,46 +34,55 @@ from ..core import Blobs, Point, Rect
 __all__ = ["blobs", "label_components", "blob_corners"]
 
 
-def _neighbor_min(L, fg, big):
-    """Min of own and 4-neighbor labels over foreground pixels."""
-    h, w = L.shape
+def _segmented_min_scans(L, bg, big):
+    """Min-propagate labels along foreground runs of every row and column.
+
+    One segmented associative scan covers an entire run in O(log n) passes —
+    the workhorse replacing per-pixel neighbor propagation (which needs
+    O(run length) iterations).  Background pixels are barriers.
+    """
+
+    def op(a, c):
+        av, ab = a
+        cv, cb = c
+        return jnp.where(cb, cv, jnp.minimum(av, cv)), ab | cb
+
     out = L
-    left = jnp.concatenate([jnp.full((h, 1), big, L.dtype), L[:, :-1]], axis=1)
-    right = jnp.concatenate([L[:, 1:], jnp.full((h, 1), big, L.dtype)], axis=1)
-    up = jnp.concatenate([jnp.full((1, w), big, L.dtype), L[:-1, :]], axis=0)
-    down = jnp.concatenate([L[1:, :], jnp.full((1, w), big, L.dtype)], axis=0)
-    out = jnp.minimum(out, jnp.minimum(jnp.minimum(left, right), jnp.minimum(up, down)))
-    return jnp.where(fg, out, big)
+    for axis in (1, 0):
+        for reverse in (False, True):
+            vv, _ = jax.lax.associative_scan((lambda a, c: op(a, c)), (out, bg),
+                                             axis=axis, reverse=reverse)
+            out = jnp.minimum(out, jnp.where(bg, big, vv))
+    return out
 
 
 @jax.jit
 def label_components(img: jnp.ndarray) -> jnp.ndarray:
     """Label 4-connected components of ``img >= 128``.
 
-    Returns an int32 (H, W) map: background = -1, foreground = min raster index of
-    the pixel's component.  Converges via neighbor-min + pointer jumping inside a
-    ``lax.while_loop`` (data-dependent iteration count, compiler-friendly body).
+    Returns an int32 (H, W) map: background = -1, foreground = min raster index
+    of the pixel's component.  Each ``lax.while_loop`` iteration runs segmented
+    min-scans along rows and columns (full-run propagation in one sweep, no
+    gathers) plus one pointer-jump hop; zig-zag shapes converge in a handful of
+    sweeps instead of O(diameter) steps.
     """
     h, w = img.shape
     big = jnp.int32(h * w)
     fg = img >= 128
+    bg = ~fg
     idx = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
     L0 = jnp.where(fg, idx, big)
 
     def body(state):
         L, _ = state
-        Ln = _neighbor_min(L, fg, big)
+        Ln = _segmented_min_scans(L, bg, big)
         # pointer jump: follow the current pointer one hop (L[L[p]])
         flat = L.reshape(-1)
         tgt = jnp.clip(Ln.reshape(-1), 0, h * w - 1)
         Lj = jnp.where(Ln.reshape(-1) < big, flat[tgt], big).reshape(h, w)
         Ln2 = jnp.minimum(Ln, Lj)
-        # second jump accelerates long chains
-        tgt2 = jnp.clip(Ln2.reshape(-1), 0, h * w - 1)
-        Lj2 = jnp.where(Ln2.reshape(-1) < big, flat[tgt2], big).reshape(h, w)
-        Ln3 = jnp.minimum(Ln2, Lj2)
-        changed = jnp.any(Ln3 != L)
-        return Ln3, changed
+        changed = jnp.any(Ln2 != L)
+        return Ln2, changed
 
     def cond(state):
         return state[1]
