@@ -52,7 +52,7 @@ def make_batch(n, h=1024, w=1024):
 
 def main():
     on_tpu = jax.default_backend() == "tpu"
-    n = 128 if on_tpu else 4
+    n = 256 if on_tpu else 4
     iters = 10 if on_tpu else 2
     imgs = make_batch(n)
 

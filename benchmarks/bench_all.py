@@ -65,8 +65,8 @@ def main():
     results = {"backend": jax.default_backend(), "device": str(jax.devices()[0])}
     orc = load_oracle()
 
-    # 1. fused preprocess, 1MP frames
-    n = (64 if on_tpu else 2) if not args.quick else (16 if on_tpu else 2)
+    # 1. fused preprocess, 1MP frames (large batch amortizes dispatch overhead)
+    n = (256 if on_tpu else 2) if not args.quick else (16 if on_tpu else 2)
     frame = tile_frame(1024, 1024)
     batch = jnp.asarray(np.stack([np.roll(frame, 13 * i, axis=1) for i in range(n)]))
     dt = timeit(preprocess, batch, iters=iters)
