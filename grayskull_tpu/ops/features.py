@@ -279,6 +279,9 @@ def brief_descriptor(img: jnp.ndarray, x, y, angle):
 def orb_extract(img: jnp.ndarray, max_kps: int, threshold, limit=None):
     """Full ORB extraction — ``gs_orb_extract`` (grayskull.h:651-669).
 
+    ``img`` may be (H, W) or a batch (N, H, W) — batched extraction vmaps the
+    whole chain (one keypoint table per frame), amortizing TPU dispatch.
+
     FAST with a 4x candidate budget (capped at 5000), stable sort by response
     descending, border filter (radius 15), then orientation + descriptor for the
     top ``max_kps``.  ``limit`` optionally caps the *count* dynamically (a traced
@@ -287,6 +290,8 @@ def orb_extract(img: jnp.ndarray, max_kps: int, threshold, limit=None):
     the candidate budget stays ``min(4 * max_kps, 5000)`` like a C caller passing
     the dynamic ``nkps`` would get.
     """
+    if img.ndim == 3:
+        return jax.vmap(lambda im: orb_extract(im, max_kps, threshold, limit))(img)
     h, w = img.shape
     cap = int(max_kps)
     cand_cap = min(cap * 4, 5000)

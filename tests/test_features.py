@@ -151,6 +151,18 @@ def test_match_orb_single_candidate(oracle):
         np.testing.assert_array_equal(ours, ref.astype(np.int64))
 
 
+def test_orb_extract_batched(testdata):
+    img = testdata["lena"]
+    batch = np.stack([img, img[::-1, ::-1].copy()])
+    kb = gs.ops.orb_extract(batch, 100, 20)
+    for i in range(2):
+        single = gs.ops.orb_extract(batch[i], 100, 20)
+        assert int(np.asarray(kb.n)[i]) == int(single.n)
+        np.testing.assert_array_equal(np.asarray(kb.x)[i], np.asarray(single.x))
+        np.testing.assert_array_equal(np.asarray(kb.descriptor)[i],
+                                      np.asarray(single.descriptor))
+
+
 def test_hamming_distance():
     d1 = np.zeros((1, 8), np.uint32)
     d2 = np.full((1, 8), 0xFFFFFFFF, np.uint32)
