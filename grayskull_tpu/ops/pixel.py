@@ -221,13 +221,36 @@ def _axis_counts(n: int, r: int) -> np.ndarray:
     )
 
 
+def _exact_div(s: jnp.ndarray, counts: np.ndarray) -> jnp.ndarray:
+    """Exact ``s // counts`` for int32 ``s < 2^24`` and a constant divisor grid.
+
+    XLA's integer division by a constant *array* compiles pathologically on TPU
+    (minutes for a 256x256 grid), and float division gets rewritten to a
+    reciprocal multiply with wrong rounding.  So: estimate with the float
+    reciprocal (error provably <= 1 for s < 2^24 regardless of FMA/rewrite
+    slop), then repair with an exact integer fixup.
+    """
+    counts_i = jnp.asarray(counts.astype(np.int32))
+    recip = jnp.asarray((1.0 / counts.astype(np.float64)).astype(np.float32))
+    q0 = jnp.floor(s.astype(jnp.float32) * recip).astype(jnp.int32)
+    r0 = s - q0 * counts_i
+    return q0 + (r0 >= counts_i).astype(jnp.int32) - (r0 < 0).astype(jnp.int32)
+
+
+def _div_by_axis_counts(s: jnp.ndarray, h: int, w: int, r: int, smax: int) -> jnp.ndarray:
+    """Exact ``s // (cy * cx)`` for the clipped-window count grid."""
+    assert smax < 2**24
+    counts = np.outer(_axis_counts(h, r), _axis_counts(w, r)).astype(np.int64)
+    return _exact_div(s, counts)
+
+
 def _blur_small(img: jnp.ndarray, r: int) -> jnp.ndarray:
     """Separable shift-add blur for small radii — the TPU-fast path.
 
-    Integer division by the (constant) count grid: XLA strength-reduces constant
-    integer division to an exact multiply-shift.  (A float32 division here would
-    get rewritten to a reciprocal multiply, which rounds 119.9999 for an exact
-    120 — integer division is both exact and fast.)
+    The clipped-window division uses per-axis exact magic multiplies (see
+    ``_magic_for``); a float32 division would hit XLA's reciprocal rewrite and
+    round 119.9999 for an exact 120, and integer division by a constant grid
+    compiles pathologically on TPU.
     """
     h, w = img.shape[-2:]
     lead = img.ndim - 2
@@ -236,10 +259,8 @@ def _blur_small(img: jnp.ndarray, r: int) -> jnp.ndarray:
     rowsum = sum(px[..., :, k : k + w] for k in range(2 * r + 1))
     py = jnp.pad(rowsum, [(0, 0)] * lead + [(r, r), (0, 0)])
     colsum = sum(py[..., k : k + h, :] for k in range(2 * r + 1))
-    counts = jnp.asarray(
-        np.outer(_axis_counts(h, r), _axis_counts(w, r)).astype(np.int32)
-    )
-    return (colsum // counts).astype(jnp.uint8)
+    smax = 255 * (2 * r + 1) ** 2
+    return _div_by_axis_counts(colsum, h, w, r, smax).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("radius",))
@@ -275,12 +296,12 @@ def adaptive_threshold(img: jnp.ndarray, radius: int, c) -> jnp.ndarray:
         rowsum = sum(px[..., :, k : k + w] for k in range(2 * r + 1))
         py = jnp.pad(rowsum, [(0, 0)] * lead + [(r, r), (0, 0)])
         s = sum(py[..., k : k + h, :] for k in range(2 * r + 1))
-        count = jnp.asarray(np.outer(_axis_counts(h, r), _axis_counts(w, r)).astype(np.int32))
+        smax = 255 * (2 * r + 1) ** 2
+        q = _div_by_axis_counts(s, h, w, r, smax)
     else:
         s, count = _clipped_window_sums(img, radius)
-        s = s.astype(jnp.int32)
-        count = count.astype(jnp.int32)
-    thr = (s // count) - jnp.asarray(c, jnp.int32)
+        q = (s // count).astype(jnp.int32)
+    thr = q - jnp.asarray(c, jnp.int32)
     return jnp.where(img.astype(jnp.int32) > thr, jnp.uint8(255), jnp.uint8(0))
 
 
