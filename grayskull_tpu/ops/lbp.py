@@ -3,12 +3,14 @@
 
 The reference slides a window over the integral image one position at a time,
 evaluating 20 boosted stages with early exit.  The TPU formulation scores **every
-window position of a scale in parallel**: each weak classifier's nine block sums
-become strided gathers over the integral image for the whole window grid at once,
-the MB-LBP code and subset test are vectorized compares, and stage early-exit
-becomes an AND-reduction (same result — early exit is purely a serial-CPU
-optimization).  Detections are emitted in the reference's (scale, y, x) order via
-rank-scatter with the ``max_rects`` cap.
+window position of a scale in parallel**, gather-free: dense rect-sum maps per
+distinct block size (static slices of the padded integral image), phase-decomposed
+by the window stride so each weak classifier's nine block sums are contiguous
+``dynamic_slice`` reads inside a ``lax.scan`` over the weaks (one small compiled
+body — 30 M windows/s on v5e).  MB-LBP codes and subset tests are vectorized
+compares; stage early-exit becomes an AND-reduction (same result — early exit is
+purely a serial-CPU optimization).  Detections are emitted in the reference's
+(scale, y, x) order via rank-scatter with the ``max_rects`` cap.
 
 Float semantics: the scale ladder (``scale *= scale_factor``), window and feature
 scaling (float32 multiply + C truncation) are computed host-side in numpy float32
@@ -62,28 +64,8 @@ def _scaled_features(cascade: LbpCascade, scale: float):
     return fx, fy, fw, fh
 
 
-def _weak_geometry(cascade: LbpCascade, scale: float):
-    """Host-side per-weak 3x3 block-rect corner offsets for one scale.
 
-    Returns four (nweaks, 9) int32 arrays of *corner* offsets for the integral
-    differencing: y_top, y_bot, x_left, x_right (relative to the window origin),
-    in block order TL TC TR / L C R / BL BC BR.
-    """
-    fx, fy, fw, fh = _scaled_features(cascade, scale)
-    wi = cascade.weak_feature_idx.astype(np.int32)
-    x0, y0 = fx[wi], fy[wi]
-    w_, h_ = fw[wi], fh[wi]
-    bys = np.stack([y0, y0, y0, y0 + h_, y0 + h_, y0 + h_,
-                    y0 + 2 * h_, y0 + 2 * h_, y0 + 2 * h_], axis=1)
-    bxs = np.stack([x0, x0 + w_, x0 + 2 * w_] * 3, axis=1)
-    y_top = bys  # rect starts
-    x_left = bxs
-    y_bot = bys + h_[:, None] - 1  # inclusive rect ends
-    x_right = bxs + w_[:, None] - 1
-    return y_top.astype(np.int32), y_bot.astype(np.int32), x_left.astype(np.int32), x_right.astype(np.int32)
-
-
-# block order in _weak_geometry: TL TC TR L C R BL BC BR -> code bit per block
+# block order (bj*3+bi): TL TC TR L C R BL BC BR -> code bit per block
 # (grayskull.h:781-782): TL<<7, TC<<6, TR<<5, R<<4, BR<<3, BC<<2, BL<<1, L<<0
 _BLOCK_BITS = np.array([7, 6, 5, 0, -1, 4, 1, 2, 3], np.int32)  # -1 = center
 
