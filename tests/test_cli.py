@@ -128,6 +128,28 @@ def test_cli_faces_and_keypoints(tmp_path, lena_path):
     assert gio.read_pgm(str(tmp_path / "k.pgm")) is not None
 
 
+def test_cli_stdin_stdout_piping(c_binary, lena_path, tmp_path):
+    """'-' reads stdin / writes stdout, chainable like the reference Makefile."""
+    import sys
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    ours = tmp_path / "pipe_ours.pgm"
+    ref = tmp_path / "pipe_ref.pgm"
+    shell = (
+        f"{sys.executable} -m grayskull_tpu.cli blur 3 {lena_path} - | "
+        f"{sys.executable} -m grayskull_tpu.cli sobel - - | "
+        f"{sys.executable} -m grayskull_tpu.cli threshold otsu - {ours}"
+    )
+    subprocess.run(shell, shell=True, check=True, env=env, timeout=400)
+    shell_c = (
+        f"{c_binary} blur 3 {lena_path} - | {c_binary} sobel - - | "
+        f"{c_binary} threshold otsu - {ref}"
+    )
+    subprocess.run(shell_c, shell=True, check=True, timeout=60)
+    assert ours.read_bytes() == ref.read_bytes()
+
+
 def test_cli_errors(capsys):
     assert cli.main(["nanomagick"]) == 1
     assert cli.main(["nanomagick", "nonsense"]) == 1
