@@ -26,14 +26,9 @@ import jax.numpy as jnp  # noqa: E402
 
 import grayskull_tpu as gs  # noqa: E402
 from grayskull_tpu.pipelines.preproc import preprocess  # noqa: E402
+from grayskull_tpu.profiling import sync as _sync  # noqa: E402  (fences EVERY leaf)
 
 TARGET_FPS = 10_000.0  # north-star from BASELINE.json
-
-
-def _sync(x):
-    # device->host readback of one element forces completion (block_until_ready
-    # is not reliable on the tunneled TPU platform used in this sandbox)
-    np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[0:1])
 
 
 def make_batch(n, h=1024, w=1024):
@@ -53,7 +48,8 @@ def make_batch(n, h=1024, w=1024):
 def main():
     on_tpu = jax.default_backend() == "tpu"
     n = 256 if on_tpu else 4
-    iters = 10 if on_tpu else 2
+    # enough queued iterations that the tunnel's ~5 ms/dispatch amortizes away
+    iters = 20 if on_tpu else 2
     imgs = make_batch(n)
 
     _sync(preprocess(imgs))  # compile + warm

@@ -2,27 +2,42 @@
 
     blur(r) -> histogram -> [otsu sweep] -> threshold -> sobel
 
-Two kernels per batch; each frame's data crosses HBM once per kernel:
+Reference semantics: ``gs_blur`` (clipped-window mean, truncating integer
+division — /root/reference/grayskull.h:268-283), ``gs_histogram`` (:199-203),
+``gs_threshold`` (:225-228), ``gs_sobel`` (interior-only, :306-320).
 
-* :func:`fused_blur_hist` — grid over frames; processes each frame in row strips
-  held in VMEM.  The clipped-window box blur is separable shift-adds with an
-  **exact** integer division by the count grid (XLA/Mosaic strength-reduce the
-  constant-free ``//`` correctly for int32).  The histogram uses a SWAR scheme:
-  each pixel adds ``1 << 4*(p & 7)`` into one of 32 packed int32 counters
-  selected by ``p >> 3`` — 8 bins ride in each 32-bit word (4-bit fields), so a
-  256-bin histogram costs ~32 masked adds per pixel instead of 256.  With 8-row
-  strips each field holds at most 8, so no cross-field carry occurs (the top
-  field may wrap int32 — harmless, the mask recovers the count mod 16 which
-  equals the true count).
-* :func:`fused_threshold_sobel` — binarize against a per-frame threshold and
-  run the 3x3 Sobel on the binary image, strip-wise.
+Two kernels per batch, each grid-blocked ``(N, H/BLK)`` so Mosaic streams
+row blocks through VMEM with double buffering (whole-frame blocks measured
+~2.5x slower).  Cross-block stencil rows come from a tiny pre-gathered halo
+tensor (16 rows per block edge, ~6 %% extra traffic; zero rows past the
+frame edges, which the clipped-count division / interior masks make exact).
 
-Bit-exact versus the reference chain (differential tests) and versus the
-composed-ops XLA path.
+Design notes (all bit-exact, differentially tested):
 
-Mosaic constraints honored: dynamic row offsets are multiples of 8 (strip
-starts), loads are pre-padded so slice lengths can round up to sublanes, no
-1-D intermediates, no dynamic_slice on values.
+* **Column sums on the MXU.**  The vertical (2r+1)-tap sum is a banded-
+  matrix matmul ``band @ rows`` with 0/1 bf16 weights: uint8 pixels are
+  exact in bf16 and the MXU accumulates in f32, so the sums are exact
+  integers.  This removes every sublane-shifted add (each is a relayout on
+  TPU) and makes the halo concat 8-aligned.  Horizontal taps stay cheap
+  lane-shift adds (int16 when ``255*(2r+1)^2 <= 32767``).
+* **Magic-multiply division.**  TPU has no vector integer divide; ``lax``'s
+  lowering cost ~60us/frame.  ``cs // (cy*cx)`` becomes two exact
+  floor-divisions by small constants — ``(cs*m[cy] >> 19) * m[cx] >> 19``
+  with ``m[d] = ceil(2**19/d)`` in uint32 — selected from (BLK,1)/(1,W)
+  magic vectors.  Exactness for every reachable (cs, d) pair is verified at
+  import time and pinned by tests; the Pallas path is limited to r <= 6
+  (r=7, d=14 has no exact uint32 magic at this shift).
+* **MXU nibble histogram.**  For each 8-row group, one-hot matrices
+  ``A[(i*8+r), w] = [hi(r,w)==i]`` / ``B[(j*8+r), w] = [lo(r,w)==j]`` are
+  built with ONE (128,W) compare each and contracted ``A @ B^T`` on the
+  MXU.  ``C[i*8+r1, j*8+r2]`` counts cross-row pairs; the block diagonal
+  ``r1==r2`` is the joint (hi,lo) histogram, extracted once per frame with
+  two small f32 dots (``precision=HIGHEST`` — default f32 matmuls truncate
+  operands to bf16 on the MXU and round counts > 256).
+* **Compare-free threshold.**  ``pixel > t`` is ``((t - pixel) >> 31) & 255``.
+
+Mosaic constraints honored: no u8->bf16 casts (via int32), no int8/int16
+vector compares or shifts, no 1-D iota, f32 matmul precision pinned.
 """
 
 from __future__ import annotations
@@ -37,73 +52,143 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["fused_blur_hist", "fused_threshold_sobel", "preproc_available"]
 
-_STRIP = 128  # blur strip rows
-_HSR = 8  # histogram strip rows (4-bit SWAR capacity)
+_MAGIC_SHIFT = 19  # uint32 arithmetic: products stay < 2**32 through r=6
+_MAX_RADIUS = 6  # no exact (m, 19) pair exists for r=7, d=14; XLA path covers r>6
+
+
+def _verify_magic(max_r: int = _MAX_RADIUS) -> None:
+    """Host-side proof that the two-stage magic division is exact.
+
+    floor(floor(cs/cy)/cx) == floor(cs/(cy*cx)) holds for positive ints;
+    each stage's magic multiply must floor-divide exactly over its operand
+    range and stay within uint32 (S=18/int32 has no exact magic for r=6,d=9).
+    """
+    for r in range(1, max_r + 1):
+        n_max = 255 * (2 * r + 1) ** 2
+        n = np.arange(n_max + 1, dtype=np.uint64)
+        for d in range(r + 1, 2 * r + 2):
+            m = -((1 << _MAGIC_SHIFT) // -d)  # ceil: exact shift when d | 2**19
+            assert n_max * m < 2**32, (r, d)
+            q = (n * np.uint64(m)) >> np.uint64(_MAGIC_SHIFT)
+            assert np.array_equal(q, n // np.uint64(d)), (r, d)
+
+
+_verify_magic()
 
 
 def _round8(v: int) -> int:
     return (v + 7) // 8 * 8
 
 
-def _blur_hist_kernel(x_ref, blur_ref, hist_ref, *, r: int, h: int, w: int, load_rows: int):
-    nstrips = h // _STRIP
-    mask4 = jnp.int32(0x0F0F0F0F)
+def _pick_block(h: int, w: int) -> int:
+    """Largest row-block size keeping a block's working set VMEM-friendly."""
+    for blk in (256, 128, 64, 32, 16, 8):
+        if h % blk == 0 and blk * w <= 256 * 1024:
+            return blk
+    return 0
 
-    def strip(si, carry):
-        hist_acc, acc_e, acc_o = carry
-        y0 = si * _STRIP
-        # int16 taps when sums fit (255*(2r+1)^2 <= 32767, i.e. r <= 5):
-        # 2x vector density on the VPU
-        dtype = jnp.int16 if 255 * (2 * r + 1) ** 2 <= 32767 else jnp.int32
-        rows = x_ref[0, pl.ds(y0, load_rows), :].astype(dtype)
-        rows = rows[: _STRIP + 2 * r]
-        px = jnp.pad(rows, ((0, 0), (r, r)))
-        rs = px[:, 0:w]
-        for k in range(1, 2 * r + 1):
-            rs = rs + px[:, k : k + w]
-        cs_n = rs[0:_STRIP, :]
-        for k in range(1, 2 * r + 1):
-            cs_n = cs_n + rs[k : k + _STRIP, :]
-        cs = cs_n.astype(jnp.int32)
-        ii = jax.lax.broadcasted_iota(jnp.int32, (_STRIP, w), 0) + y0
-        jj = jax.lax.broadcasted_iota(jnp.int32, (_STRIP, w), 1)
-        cy = jnp.minimum(ii + r, h - 1) - jnp.maximum(ii - r, 0) + 1
-        cx = jnp.minimum(jj + r, w - 1) - jnp.maximum(jj - r, 0) + 1
-        blurred = cs // (cy * cx)
-        blur_ref[0, pl.ds(y0, _STRIP), :] = blurred.astype(jnp.uint8)
 
-        # SWAR histogram: level 1 packs 8 bins as 4-bit fields per int32 word
-        # (counts <= _HSR = 8 per field, no cross-field carry); level 2 expands
-        # to 8-bit fields accumulated across the strip (counts <= 128), so the
-        # expensive lane-reduction flush happens once per frame, not per strip.
-        for sub in range(_STRIP // _HSR):
-            seg = blurred[sub * _HSR : (sub + 1) * _HSR]
-            word = seg >> 3
-            contrib = jnp.int32(1) << ((seg & 7) << 2)
-            packs = [
-                jnp.sum(jnp.where(word == k, contrib, 0), axis=0, keepdims=True)
-                for k in range(32)
-            ]
-            packs = jnp.concatenate(packs, axis=0)  # (32, w)
-            acc_e = acc_e + (packs & mask4)  # fields 0,2,4,6 in byte slots
-            acc_o = acc_o + ((packs >> 4) & mask4)  # fields 1,3,5,7
-        # flush every strip's level-2 bytes into the 32-bit histogram
-        # (counts per byte <= 8 * 16 = 128 per strip, safe)
-        fields = []
-        for f in range(4):
-            fields.append(jnp.sum((acc_e >> (8 * f)) & 255, axis=1, keepdims=True))
-            fields.append(jnp.sum((acc_o >> (8 * f)) & 255, axis=1, keepdims=True))
-        # field order: e0=bin0, o0=bin1, e1=bin2, o1=bin3, ...
-        hist_acc = hist_acc + jnp.concatenate(fields, axis=1)
-        zero = jnp.zeros((32, w), jnp.int32)
-        return hist_acc, zero, zero
+def _halo16(imgs: jnp.ndarray, blk: int) -> jnp.ndarray:
+    """(N, H, W) -> (N, H/blk, 16, W): 8 rows above + 8 below each block.
 
-    hist, _, _ = jax.lax.fori_loop(
-        0, nstrips, strip,
-        (jnp.zeros((32, 8), jnp.int32), jnp.zeros((32, w), jnp.int32),
-         jnp.zeros((32, w), jnp.int32)),
+    Zeros beyond the frame edges (exact: blur's clipped-count division and
+    sobel's interior mask ignore them).
+    """
+    n, h, w = imgs.shape
+    nb = h // blk
+    z8 = jnp.zeros((n, 8, w), imgs.dtype)
+    parts = []
+    for j in range(nb):
+        top = z8 if j == 0 else imgs[:, j * blk - 8 : j * blk]
+        bot = z8 if j == nb - 1 else imgs[:, (j + 1) * blk : (j + 1) * blk + 8]
+        parts.append(jnp.concatenate([top, bot], axis=1))
+    return jnp.stack(parts, axis=1)
+
+
+def _magic_vec(count_vec: jnp.ndarray, r: int) -> jnp.ndarray:
+    """Magic multiplier per clipped-window count (counts in r+1 .. 2r+1)."""
+    ceil_div = lambda d: -((1 << _MAGIC_SHIFT) // -d)
+    m = jnp.full_like(count_vec, ceil_div(2 * r + 1))
+    for d in range(r + 1, 2 * r + 1):
+        m = jnp.where(count_vec == d, ceil_div(d), m)
+    return m.astype(jnp.uint32)
+
+
+def _blur_hist_kernel(x_ref, halo_ref, blur_ref, hist_ref, acc_ref, band_ref,
+                      *, r: int, h: int, w: int, blk: int):
+    j = pl.program_id(1)
+    nb = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        # banded column-sum matrix: band[out, in] = [in in out+8-r .. out+8+r]
+        o = jax.lax.broadcasted_iota(jnp.int32, (blk, blk + 16), 0)
+        i_in = jax.lax.broadcasted_iota(jnp.int32, (blk, blk + 16), 1)
+        band_ref[:] = ((i_in >= o + 8 - r) & (i_in <= o + 8 + r)).astype(jnp.bfloat16)
+
+    # (blk+16, w): 8 halo rows + block + 8 halo rows, all 8-aligned
+    rows = jnp.concatenate(
+        [halo_ref[0, 0, :8, :], x_ref[0], halo_ref[0, 0, 8:, :]], axis=0
     )
-    hist_ref[0] = hist
+    xb = rows.astype(jnp.int32).astype(jnp.bfloat16)
+    cs_col = jax.lax.dot_general(
+        band_ref[:], xb, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (blk, w) exact vertical sums (integers < 2**24)
+    small = 255 * (2 * r + 1) ** 2 <= 32767  # r <= 5
+    csi = cs_col.astype(jnp.int16 if small else jnp.int32)
+    px = jnp.pad(csi, ((0, 0), (r, r)))
+    cs_n = px[:, 0:w]
+    for k in range(1, 2 * r + 1):
+        cs_n = cs_n + px[:, k : k + w]
+    cs = cs_n.astype(jnp.int32).astype(jnp.uint32)  # products wrap-free in u32
+
+    y0 = j * blk
+    ii = jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0) + y0
+    jjv = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    cyv = jnp.minimum(ii + r, h - 1) - jnp.maximum(ii - r, 0) + 1
+    cxv = jnp.minimum(jjv + r, w - 1) - jnp.maximum(jjv - r, 0) + 1
+    blurred = ((((cs * _magic_vec(cyv, r)) >> _MAGIC_SHIFT)
+                * _magic_vec(cxv, r)) >> _MAGIC_SHIFT).astype(jnp.int32)
+    blur_ref[0] = blurred.astype(jnp.uint8)
+
+    # MXU nibble histogram over 8-row groups
+    klass = jax.lax.broadcasted_iota(jnp.int32, (128, w), 0) >> 3
+    acc = acc_ref[:]
+    hi_all = blurred >> 4
+    lo_all = blurred & 15
+    for g in range(blk // 8):
+        hi = jnp.concatenate([hi_all[g * 8 : (g + 1) * 8]] * 16, axis=0)
+        lo = jnp.concatenate([lo_all[g * 8 : (g + 1) * 8]] * 16, axis=0)
+        a = (hi == klass).astype(jnp.bfloat16)
+        b = (lo == klass).astype(jnp.bfloat16)
+        c = jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        acc = acc + c
+    acc_ref[:] = acc
+
+    @pl.when(j == nb - 1)
+    def _():
+        accv = acc_ref[:]
+        xid = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        yid = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        masked = jnp.where((xid & 7) == (yid & 7), accv, 0.0)
+        pid = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0)
+        pcol = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1) >> 3
+        p = (pid == pcol).astype(jnp.float32)
+        t1 = jax.lax.dot_general(
+            p, masked, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        m = jax.lax.dot_general(
+            t1, p, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        hist_ref[0] = m.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("radius",))
@@ -111,88 +196,93 @@ def fused_blur_hist(imgs: jnp.ndarray, radius: int = 2):
     """(N, H, W) uint8 -> (blurred uint8, hist (N, 256) int32)."""
     n, h, w = imgs.shape
     r = int(radius)
-    load_rows = _round8(_STRIP + 2 * r)
-    pad_bottom = load_rows - _STRIP - r  # so the last strip's load stays in bounds
-    xp = jnp.pad(imgs, ((0, 0), (r, pad_bottom), (0, 0)))
-    hp = h + r + pad_bottom
+    blk = _pick_block(h, w)
+    halo = _halo16(imgs, blk)
+    nb = h // blk
     blurred, hist = pl.pallas_call(
-        functools.partial(_blur_hist_kernel, r=r, h=h, w=w, load_rows=load_rows),
-        grid=(n,),
-        in_specs=[pl.BlockSpec((1, hp, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)],
+        functools.partial(_blur_hist_kernel, r=r, h=h, w=w, blk=blk),
+        grid=(n, nb),
+        in_specs=[
+            pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 16, w), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        ],
         out_specs=[
-            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 32, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16, 16), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, h, w), jnp.uint8),
-            jax.ShapeDtypeStruct((n, 32, 8), jnp.int32),
+            jax.ShapeDtypeStruct((n, 16, 16), jnp.int32),
         ],
-    )(xp)
-    # SWAR layout: hist[word, field] is the count of value word*8 + field
+        scratch_shapes=[
+            pltpu.VMEM((128, 128), jnp.float32),
+            pltpu.VMEM((blk, blk + 16), jnp.bfloat16),
+        ],
+    )(imgs, halo)
+    # hist[hi, lo] -> flat bin hi*16+lo
     return blurred, hist.reshape(n, 256)
 
 
-def _threshold_sobel_kernel(t_ref, x_ref, bin_ref, edge_ref, *, h: int, w: int, load_rows: int):
-    t = t_ref[pl.program_id(0)]
-    nstrips = h // _STRIP
+def _threshold_sobel_kernel(t_ref, x_ref, halo_ref, bin_ref, edge_ref,
+                            *, h: int, w: int, blk: int):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    t = t_ref[i]
+    rows = jnp.concatenate(
+        [halo_ref[0, 0, 7:8, :], x_ref[0], halo_ref[0, 0, 8:9, :]], axis=0
+    ).astype(jnp.int32)
+    # compare-free binarize: (t - p) >> 31 is all-ones iff p > t
+    b = ((t - rows) >> 31) & 255
+    bin_ref[0] = b[1 : 1 + blk].astype(jnp.uint8)
+    pb = jnp.pad(b, ((0, 0), (1, 1)))
 
-    def strip(si, _):
-        y0 = si * _STRIP
-        rows = x_ref[0, pl.ds(y0, load_rows), :].astype(jnp.int32)
-        rows = rows[: _STRIP + 2]
-        b = jnp.where(rows > t, jnp.int32(255), jnp.int32(0))
-        bin_ref[0, pl.ds(y0, _STRIP), :] = b[1 : 1 + _STRIP].astype(jnp.uint8)
-        pb = jnp.pad(b, ((0, 0), (1, 1)))
+    def sh(dy, dx):
+        return pb[1 + dy : 1 + dy + blk, 1 + dx : 1 + dx + w]
 
-        def sh(dy, dx):
-            return pb[1 + dy : 1 + dy + _STRIP, 1 + dx : 1 + dx + w]
-
-        gx = -sh(-1, -1) + sh(-1, 1) - 2 * sh(0, -1) + 2 * sh(0, 1) - sh(1, -1) + sh(1, 1)
-        gy = -sh(-1, -1) - 2 * sh(-1, 0) - sh(-1, 1) + sh(1, -1) + 2 * sh(1, 0) + sh(1, 1)
-        mag = jnp.minimum((jnp.abs(gx) + jnp.abs(gy)) >> 1, 255)
-        ii = jax.lax.broadcasted_iota(jnp.int32, (_STRIP, w), 0) + y0
-        jj = jax.lax.broadcasted_iota(jnp.int32, (_STRIP, w), 1)
-        interior = (ii >= 1) & (ii < h - 1) & (jj >= 1) & (jj < w - 1)
-        edge_ref[0, pl.ds(y0, _STRIP), :] = jnp.where(interior, mag, 0).astype(jnp.uint8)
-        return 0
-
-    jax.lax.fori_loop(0, nstrips, strip, 0)
+    gx = -sh(-1, -1) + sh(-1, 1) - 2 * sh(0, -1) + 2 * sh(0, 1) - sh(1, -1) + sh(1, 1)
+    gy = -sh(-1, -1) - 2 * sh(-1, 0) - sh(-1, 1) + sh(1, -1) + 2 * sh(1, 0) + sh(1, 1)
+    mag = jnp.minimum((jnp.abs(gx) + jnp.abs(gy)) >> 1, 255)
+    y0 = j * blk
+    ii = jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0) + y0
+    jj = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    interior = ((ii >= 1) & (ii < h - 1)) & ((jj >= 1) & (jj < w - 1))
+    edge_ref[0] = jnp.where(interior, mag, 0).astype(jnp.uint8)
 
 
 @jax.jit
 def fused_threshold_sobel(blurred: jnp.ndarray, thresholds: jnp.ndarray):
     """(N, H, W) uint8 + (N,) thresholds -> (binary, edges) in one HBM pass."""
     n, h, w = blurred.shape
-    load_rows = _round8(_STRIP + 2)
-    pad_bottom = load_rows - _STRIP - 1
-    xp = jnp.pad(blurred, ((0, 0), (1, pad_bottom), (0, 0)))
-    hp = h + 1 + pad_bottom
+    blk = _pick_block(h, w)
+    halo = _halo16(blurred, blk)
     t = thresholds.astype(jnp.int32)
+    nb = h // blk
     binary, edges = pl.pallas_call(
-        functools.partial(_threshold_sobel_kernel, h=h, w=w, load_rows=load_rows),
-        grid=(n,),
+        functools.partial(_threshold_sobel_kernel, h=h, w=w, blk=blk),
+        grid=(n, nb),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # full (N,) thresholds
-            pl.BlockSpec((1, hp, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 16, w), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, h, w), jnp.uint8),
             jax.ShapeDtypeStruct((n, h, w), jnp.uint8),
         ],
-    )(t, xp)
+    )(t, blurred, halo)
     return binary, edges
 
 
 def preproc_available(h: int, w: int, radius: int = 2) -> bool:
-    """Whether the strip kernels handle this frame geometry."""
+    """Whether the grid-blocked kernels handle this frame geometry."""
     return (
-        h % _STRIP == 0
+        _pick_block(h, w) >= 8
         and w % 128 == 0
-        and w >= 256
-        and 1 <= radius <= min(15, _STRIP // 2)
-        and h * w <= 8 * 1024 * 1024  # frame + outputs in VMEM
+        and w >= 128
+        and 1 <= radius <= _MAX_RADIUS
+        and h * w <= 16 * 1024 * 1024
     )
