@@ -51,6 +51,17 @@ def oracle():
 
 
 @pytest.fixture(scope="session")
+def ns_oracle():
+    """GS_NO_STDLIB-compiled reference oracle (polynomial trig)."""
+    from . import oracle as oracle_mod
+
+    orc = oracle_mod.load_nostdlib(REFERENCE_DIR)
+    if orc is None:
+        pytest.skip("nostdlib oracle unavailable")
+    return orc
+
+
+@pytest.fixture(scope="session")
 def testdata(ref_dir):
     """Dict of name -> (H, W) uint8 for the reference's PGM test images."""
     import grayskull_tpu.io as gio

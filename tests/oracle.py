@@ -319,6 +319,87 @@ class Oracle:
         )
 
 
+class NostdlibOracle:
+    """The reference compiled with GS_NO_STDLIB (polynomial trig)."""
+
+    def __init__(self, lib):
+        self._lib = lib
+        L = lib
+        L.o_ns_atan2.restype = _f
+        L.o_ns_atan2.argtypes = [_f, _f]
+        L.o_ns_sin.restype = _f
+        L.o_ns_sin.argtypes = [_f]
+        L.o_ns_compute_orientation.argtypes = [_u8p, _u, _u, _u, _u, _u]
+        L.o_ns_compute_orientation.restype = _f
+        L.o_ns_brief_descriptor.argtypes = [_u8p, _u, _u, _u, _u, _f, _u32p]
+        L.o_ns_orb_extract.argtypes = [_u8p, _u, _u, _u, _u, _u8p, _u32p, _u32p, _f32p, _u32p]
+        L.o_ns_orb_extract.restype = _u
+
+    def atan2(self, y, x):
+        return np.float32(self._lib.o_ns_atan2(np.float32(y), np.float32(x)))
+
+    def sin(self, x):
+        return np.float32(self._lib.o_ns_sin(np.float32(x)))
+
+    def compute_orientation(self, img, x, y, r):
+        img = np.ascontiguousarray(img, np.uint8)
+        return float(self._lib.o_ns_compute_orientation(img, img.shape[1], img.shape[0], x, y, r))
+
+    def brief_descriptor(self, img, x, y, angle):
+        img = np.ascontiguousarray(img, np.uint8)
+        desc = np.zeros(8, np.uint32)
+        self._lib.o_ns_brief_descriptor(img, img.shape[1], img.shape[0], x, y,
+                                        np.float32(angle), desc)
+        return desc
+
+    def orb_extract(self, img, nkps, threshold):
+        img = np.ascontiguousarray(img, np.uint8)
+        h, w = img.shape
+        scoremap = np.zeros((h, w), np.uint8)
+        xy = np.zeros(nkps * 2, np.uint32)
+        resp = np.zeros(nkps, np.uint32)
+        ang = np.zeros(nkps, np.float32)
+        desc = np.zeros(nkps * 8, np.uint32)
+        n = self._lib.o_ns_orb_extract(img, w, h, nkps, threshold, scoremap.reshape(-1),
+                                       xy, resp, ang, desc)
+        return dict(n=int(n), xy=xy.reshape(-1, 2)[:n].copy(), response=resp[:n].copy(),
+                    angle=ang[:n].copy(), descriptor=desc.reshape(-1, 8)[:n].copy())
+
+
+_ns_cached = None
+_ns_cache_key = None
+
+
+def load_nostdlib(reference_dir):
+    """Build (once) and load the GS_NO_STDLIB oracle.  Returns None if impossible."""
+    global _ns_cached, _ns_cache_key
+    if _ns_cache_key == reference_dir:
+        return _ns_cached
+    _ns_cache_key = reference_dir
+    _ns_cached = None
+    header = os.path.join(reference_dir, "grayskull.h")
+    if not os.path.isfile(header):
+        return None
+    build_dir = os.path.join(tempfile.gettempdir(), "gs_oracle_build")
+    os.makedirs(build_dir, exist_ok=True)
+    so_path = os.path.join(build_dir, "liboracle_nostdlib.so")
+    src = os.path.join(_HERE, "oracle_nostdlib_src.c")
+    if (not os.path.exists(so_path)
+            or os.path.getmtime(so_path) < max(os.path.getmtime(src), os.path.getmtime(header))):
+        # no -lm: proves the freestanding build has zero libm dependence
+        cmd = ["cc", "-O2", "-fPIC", "-shared", "-std=c99", "-I", reference_dir,
+               "-o", so_path, src]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            return None
+    try:
+        _ns_cached = NostdlibOracle(ct.CDLL(so_path))
+    except OSError:
+        _ns_cached = None
+    return _ns_cached
+
+
 _cached = None
 _cache_key = None
 
