@@ -77,7 +77,7 @@ def build_pipeline(spec: str):
             steps.append(gs.sharpen)
         elif name == "emboss":
             steps.append(gs.emboss)
-        elif name in ("blobs", "keypoints", "faces"):
+        elif name in ("blobs", "keypoints", "faces", "contours"):
             analyzers.append((name, args))
         else:
             raise SystemExit(f"unknown pipeline op: {name}")
@@ -139,6 +139,18 @@ def main():
             rects = gs.pipelines.detect_faces(frames[-1], step=int(aargs[0]) if aargs else 2)
             print(f"  faces: {int(rects.n)} detections")
             overlaid = debug.draw_rects(overlaid, rects)
+        elif name == "contours":
+            # multi-contour extraction (WASM demo's contour stage, generalized)
+            cap = int(aargs[0]) if aargs else 16
+            cs = gs.ops.find_contours(frames[-1], max_contours=cap)
+            print(f"  contours: {int(cs.n)} traced, "
+                  f"lengths {[int(v) for v in np.asarray(cs.length)[: int(cs.n)]]}")
+            overlaid = debug.draw_rects(
+                overlaid,
+                zip(*(np.asarray(v)[: int(cs.n)] for v in
+                      (cs.box.x, cs.box.y, cs.box.w, cs.box.h))),
+                color=255,
+            )
 
     if args.out:
         os.makedirs(args.out, exist_ok=True)

@@ -17,12 +17,15 @@ Semantics preserved from the reference:
 
 from __future__ import annotations
 
+import functools
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
 from ..core import Contour, Point, Rect
 
-__all__ = ["trace_contour"]
+__all__ = ["trace_contour", "largest_blob_contour", "find_contours", "Contours"]
 
 # clockwise from East (grayskull.h:448-449)
 _DX = jnp.array([1, 1, 0, -1, -1, -1, 0, 1], jnp.int32)
@@ -94,3 +97,106 @@ def trace_contour(img: jnp.ndarray, start, visited: jnp.ndarray | None = None) -
         length=length,
         visited=vis,
     )
+
+
+def _first_label_pixel(label_map: jnp.ndarray, label):
+    """First raster-order pixel of ``label`` (x, y) — the WASM driver's bbox
+    scan (examples/wasm/grayskull.c:309-317) always lands on the blob's
+    topmost-then-leftmost pixel, which is the global raster-order first."""
+    h, w = label_map.shape
+    flat = (label_map == label).reshape(-1)
+    idx = jnp.argmax(flat).astype(jnp.int32)  # first True
+    return idx % w, idx // w, flat[idx]
+
+
+def largest_blob_contour(img: jnp.ndarray, max_blobs: int = 50):
+    """Trace the largest blob's contour — the WASM demo's
+    ``gs_detect_largest_blob_contour`` (examples/wasm/grayskull.c:278-326):
+    label blobs, pick the largest by area (first max wins, strict ``>``),
+    reject areas < 100, start from the blob's first raster pixel, trace with
+    a fresh visited mask.
+
+    Returns ``(Contour, found)``; when ``found`` is False the contour is the
+    (untraced) zero contour, like the C driver's early returns.
+    """
+    from .blobs import blobs as _blobs
+
+    @functools.partial(jax.jit, static_argnames=("cap",))
+    def run(img, cap):
+        table, label_map, _ = _blobs(img, cap)
+        rows = jnp.arange(table.area.shape[0])
+        area = jnp.where(rows < table.n, table.area, -1)
+        li = jnp.argmax(area).astype(jnp.int32)  # strict > scan == first max
+        label = table.label[li]
+        x0, y0, found_px = _first_label_pixel(label_map, label)
+        found = (table.n > 0) & (area[li] >= 100) & found_px
+        c = trace_contour(img, (x0, y0))
+        zero = jnp.int32(0)
+        box = Rect(*(jnp.where(found, v, zero) for v in c.box))
+        start = Point(jnp.where(found, c.start.x, zero), jnp.where(found, c.start.y, zero))
+        length = jnp.where(found, c.length, zero)
+        vis = jnp.where(found, c.visited, jnp.zeros_like(c.visited))
+        return Contour(box=box, start=start, length=length, visited=vis), found
+
+    return run(img, int(max_blobs))
+
+
+class Contours(NamedTuple):
+    """Fixed-capacity contour table (multi-contour extraction).
+
+    Rows ``[0, n)`` are valid, in blob creation order (duplicate/nested
+    starts already covered by an earlier trace are skipped via the shared
+    visited mask).
+    """
+
+    n: jnp.ndarray  # () int32
+    box: Rect  # each (cap,) int32
+    start: Point  # each (cap,) int32
+    length: jnp.ndarray  # (cap,) int32
+    visited: jnp.ndarray  # (H, W) uint8 — union of all traced contours
+
+
+def find_contours(img: jnp.ndarray, max_contours: int = 16, max_blobs: int = 64) -> Contours:
+    """Trace every blob's outer contour with a shared visited mask.
+
+    The reference's only multi-contour surface is the WASM driver that
+    re-runs blob labeling and traces one contour per call
+    (examples/wasm/grayskull.c:278-326); this is the batched generalization:
+    one labeling pass, then per blob (creation order) find its first raster
+    pixel and Moore-trace from it, skipping blobs whose start was already
+    visited by an earlier trace.  Same per-contour semantics as
+    ``trace_contour`` (foreground > 128, visited == 255).
+    """
+    from .blobs import blobs as _blobs
+
+    @functools.partial(jax.jit, static_argnames=("cap", "bcap"))
+    def run(img, cap, bcap):
+        h, w = img.shape
+        table, label_map, _ = _blobs(img, bcap)
+        vis = jnp.zeros((h, w), jnp.uint8)
+        rows_out = []
+        for k in range(cap):
+            valid = jnp.int32(k) < table.n
+            x0, y0, found_px = _first_label_pixel(label_map, table.label[k])
+            use = valid & found_px & (vis[y0, x0] == 0)
+            c = trace_contour(img, (x0, y0), vis)
+            vis = jnp.where(use, c.visited, vis)
+            rows_out.append((use, c.box, Point(x0, y0), c.length))
+        mask = jnp.stack([r[0] for r in rows_out])
+        rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+        dst = jnp.where(mask, rank, cap)
+
+        def scatter(vals):
+            v = jnp.stack(vals)
+            return jnp.zeros(cap + 1, v.dtype).at[dst].set(v, mode="drop")[:cap]
+
+        n = jnp.sum(mask.astype(jnp.int32))
+        box = Rect(
+            scatter([r[1].x for r in rows_out]), scatter([r[1].y for r in rows_out]),
+            scatter([r[1].w for r in rows_out]), scatter([r[1].h for r in rows_out]),
+        )
+        start = Point(scatter([r[2].x for r in rows_out]), scatter([r[2].y for r in rows_out]))
+        length = scatter([r[3] for r in rows_out])
+        return Contours(n=n, box=box, start=start, length=length, visited=vis)
+
+    return run(img, int(max_contours), int(max_blobs))

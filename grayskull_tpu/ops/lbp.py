@@ -230,7 +230,11 @@ def lbp_detect(cascade: LbpCascade, ii: jnp.ndarray, max_rects: int,
     nb, ih, iw = iib.shape
     cap = int(max_rects)
     ladder = scale_ladder(cascade, iw, ih, scale_factor, min_scale, max_scale)
-    del force_xla  # kept for API stability; both paths are now the same code
+
+    default_dev = jax.config.jax_default_device
+    on_tpu = jax.default_backend() == "tpu" and (
+        default_dev is None or getattr(default_dev, "platform", "tpu") == "tpu"
+    )
 
     hits = []
     metas = []
@@ -239,7 +243,12 @@ def lbp_detect(cascade: LbpCascade, ii: jnp.ndarray, max_rects: int,
         xs = np.arange(0, iw - win_w + 1, step, dtype=np.int32)
         if len(ys) == 0 or len(xs) == 0:
             continue
-        ok = _eval_windows(cascade, iib, scale, len(ys), len(xs), step)
+        from ..kernels.lbp import lbp_eval_scale, lbp_pallas_available
+
+        if on_tpu and not force_xla and lbp_pallas_available(cascade, ih, iw, scale, step):
+            ok = lbp_eval_scale(cascade, iib, scale, len(ys), len(xs))
+        else:
+            ok = _eval_windows(cascade, iib, scale, len(ys), len(xs), step)
         hits.append(ok.reshape(nb, -1))
         gx, gy = np.meshgrid(xs, ys)
         metas.append(

@@ -49,6 +49,8 @@ class Oracle:
         L.o_blob_corners.argtypes = [_u8p, _u, _u, _u16p, _u, _u, _u32p, _u32p, _u32p]
         L.o_perspective_correct.argtypes = [_u8p, _u, _u, _u8p, _u, _u, _u32p]
         L.o_trace_contour.argtypes = [_u8p, _u, _u, _u8p, _u, _u, _u32p]
+        L.o_largest_blob_contour.argtypes = [_u8p, _u, _u, _u, _u32p]
+        L.o_largest_blob_contour.restype = _i
         L.o_fast.argtypes = [_u8p, _u, _u, _u8p, _u, _u, _u32p, _u32p]
         L.o_fast.restype = _u
         L.o_compute_orientation.argtypes = [_u8p, _u, _u, _u, _u, _u]
@@ -211,6 +213,13 @@ class Oracle:
         out = np.zeros(5, np.uint32)
         self._lib.o_trace_contour(img, w, h, visited, start_x, start_y, out)
         return dict(box=tuple(int(v) for v in out[:4]), length=int(out[4]), visited=visited)
+
+    def largest_blob_contour(self, img, max_blobs=50):
+        img, w, h = self._prep(img)
+        out = np.zeros(7, np.uint32)
+        ok = self._lib.o_largest_blob_contour(img, w, h, max_blobs, out)
+        return dict(found=bool(ok), box=tuple(int(v) for v in out[:4]),
+                    length=int(out[4]), start=(int(out[5]), int(out[6])))
 
     # --- features ----------------------------------------------------------
     def fast(self, img, nkps, threshold, scoremap=None):

@@ -280,3 +280,51 @@ EXPORT unsigned o_cascade_subsets_len(void) {
   }
   return last;
 }
+
+/* Composition mirroring the WASM demo's largest-blob contour driver
+ * (examples/wasm/grayskull.c:278-326): blobs -> largest by area (strict >,
+ * first max) -> reject area < 100 -> first raster pixel of the label ->
+ * gs_trace_contour with a fresh visited mask.  Returns 1 if a contour was
+ * traced; out = box(4) + length + start_x + start_y. */
+EXPORT int o_largest_blob_contour(const uint8_t *src, unsigned w, unsigned h, unsigned max_blobs,
+                                  unsigned *out /* 7 */) {
+  struct gs_image img = im(w, h, (uint8_t *)src);
+  uint16_t *labels = (uint16_t *)calloc((size_t)w * h, sizeof(uint16_t));
+  struct gs_blob *blobs = (struct gs_blob *)calloc(max_blobs, sizeof(struct gs_blob));
+  unsigned n = gs_blobs(img, labels, blobs, max_blobs);
+  if (n == 0) goto fail;
+  unsigned largest = 0, area = blobs[0].area;
+  for (unsigned i = 1; i < n; i++) {
+    if (blobs[i].area > area) { area = blobs[i].area; largest = i; }
+  }
+  if (area < 100) goto fail;
+  {
+    struct gs_blob *b = &blobs[largest];
+    int found = 0;
+    struct gs_contour c;
+    c.start.x = b->box.x;
+    c.start.y = b->box.y;
+    for (unsigned y = b->box.y; y < b->box.y + b->box.h && !found; y++) {
+      for (unsigned x = b->box.x; x < b->box.x + b->box.w && !found; x++) {
+        if (labels[y * w + x] == b->label) {
+          c.start.x = x;
+          c.start.y = y;
+          found = 1;
+        }
+      }
+    }
+    if (!found) goto fail;
+    uint8_t *visited = (uint8_t *)calloc((size_t)w * h, 1);
+    gs_trace_contour(img, im(w, h, visited), &c);
+    free(visited);
+    out[0] = c.box.x, out[1] = c.box.y, out[2] = c.box.w, out[3] = c.box.h;
+    out[4] = c.length, out[5] = c.start.x, out[6] = c.start.y;
+    free(labels);
+    free(blobs);
+    return c.length > 0 ? 1 : 0;
+  }
+fail:
+  free(labels);
+  free(blobs);
+  return 0;
+}

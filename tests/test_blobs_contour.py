@@ -1,5 +1,6 @@
 """Unit + parity tests for connected components, blob corners, contour tracing."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -225,3 +226,81 @@ def test_empty_image_blobs():
     d = blobs_dict(img, 5)
     assert d["n"] == 0
     assert (d["labels"] == 0).all()
+
+
+def test_largest_blob_contour_vs_oracle(oracle):
+    """Multi-blob contour driver parity vs the WASM-demo composition.
+
+    Synthetic shapes only: the reference's gs_trace_contour loops forever on
+    organic thresholded images (the known C hang we deliberately bound), so
+    the oracle cannot be run on testdata here.
+    """
+    from grayskull_tpu.ops.contour import largest_blob_contour
+
+    synth = np.zeros((120, 160), np.uint8)
+    synth[10:60, 10:70] = 255
+    synth[70:110, 90:150] = 255
+    synth[15:25, 100:140] = 255
+    ring = np.zeros((80, 80), np.uint8)
+    ring[10:70, 10:70] = 255
+    ring[25:55, 25:55] = 0
+    for name, binary in {"synth": synth, "ring": ring}.items():
+        ref = oracle.largest_blob_contour(binary, 50)
+        c, found = largest_blob_contour(jnp.asarray(binary), 50)
+        assert bool(found) == ref["found"], name
+        if ref["found"]:
+            assert (int(c.start.x), int(c.start.y)) == ref["start"], name
+            assert (int(c.box.x), int(c.box.y), int(c.box.w), int(c.box.h)) == ref["box"], name
+            assert int(c.length) == ref["length"], name
+
+
+def test_largest_blob_contour_terminates_on_testdata(testdata):
+    """Our driver is hang-proof on organic images (bounded walk)."""
+    import grayskull_tpu as gs
+    from grayskull_tpu.ops.contour import largest_blob_contour
+
+    img = testdata["lena"]
+    t = int(gs.otsu_threshold(img))
+    binary = np.asarray(gs.threshold(img, t))
+    c, found = largest_blob_contour(jnp.asarray(binary), 50)
+    assert bool(found) and int(c.length) > 0
+
+
+def test_largest_blob_contour_rejects_small(oracle):
+    img = np.zeros((32, 32), np.uint8)
+    img[4:7, 4:7] = 255  # area 9 < 100
+    from grayskull_tpu.ops.contour import largest_blob_contour
+
+    c, found = largest_blob_contour(jnp.asarray(img), 10)
+    assert not bool(found)
+    assert not oracle.largest_blob_contour(img, 10)["found"]
+
+
+def test_find_contours_multi(oracle):
+    """Shared-visited multi-contour extraction: every blob traced once."""
+    from grayskull_tpu.ops.contour import find_contours
+
+    img = np.zeros((64, 96), np.uint8)
+    img[5:20, 5:30] = 255    # blob 1
+    img[30:55, 40:80] = 255  # blob 2
+    img[8:12, 60:90] = 255   # blob 3
+    out = find_contours(jnp.asarray(img), max_contours=8, max_blobs=16)
+    assert int(out.n) == 3
+    # each contour must match a standalone oracle trace from the same start
+    for k in range(3):
+        sx, sy = int(out.start.x[k]), int(out.start.y[k])
+        ref = oracle.trace_contour(img, sx, sy)
+        assert (int(out.box.x[k]), int(out.box.y[k]),
+                int(out.box.w[k]), int(out.box.h[k])) == ref["box"]
+        assert int(out.length[k]) == ref["length"]
+
+
+def test_find_contours_skips_visited():
+    """A blob whose start pixel an earlier trace already visited is skipped."""
+    from grayskull_tpu.ops.contour import find_contours
+
+    img = np.zeros((32, 32), np.uint8)
+    img[4:10, 4:10] = 255
+    out = find_contours(jnp.asarray(img), max_contours=4, max_blobs=8)
+    assert int(out.n) == 1
+    assert int(out.length[0]) > 0
