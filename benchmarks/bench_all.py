@@ -93,9 +93,10 @@ def main():
         results["orb_keypoints_per_sec"] = nk / dt
     if orc:
         t0 = time.perf_counter()
-        orc.orb_extract(scene, 500, 20)
+        c_out = orc.orb_extract(scene, 500, 20)
         c_dt = time.perf_counter() - t0
-        results["orb_keypoints_per_sec_c_reference"] = nk / c_dt
+        # rate from the C extraction's own keypoint count (can differ from ours)
+        results["orb_keypoints_per_sec_c_reference"] = c_out["n"] / c_dt
 
     # 3. LBP detection on 640x480, full ladder, step 1
     casc = load_frontalface()

@@ -20,10 +20,15 @@
 
 /* ---- P5 parsing ---------------------------------------------------------- */
 
+static int is_ws(uint8_t c) {
+  return c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\v' || c == '\f';
+}
+
+/* fscanf whitespace directive: zero-or-more whitespace, never fails */
 static int skip_ws(const uint8_t *buf, size_t len, size_t *pos) {
   size_t p = *pos;
   int seen = 0;
-  while (p < len && (buf[p] == ' ' || buf[p] == '\t' || buf[p] == '\r' || buf[p] == '\n')) {
+  while (p < len && is_ws(buf[p])) {
     p++;
     seen = 1;
   }
@@ -51,17 +56,15 @@ EXPORT int gsio_probe_pgm(const uint8_t *buf, size_t len, uint32_t *w, uint32_t 
   if (len < 2 || buf[0] != 'P' || buf[1] != '5') return -1;
   size_t pos = 2;
   uint32_t maxval;
-  if (!skip_ws(buf, len, &pos)) return -1;
+  skip_ws(buf, len, &pos); /* zero-or-more, like fscanf's "\n" directive */
   if (parse_uint(buf, len, &pos, w) != 0) return -1;
-  if (!skip_ws(buf, len, &pos)) return -1;
+  if (!skip_ws(buf, len, &pos)) return -1; /* digits would merge otherwise */
   if (parse_uint(buf, len, &pos, h) != 0) return -1;
   if (!skip_ws(buf, len, &pos)) return -1;
   if (parse_uint(buf, len, &pos, &maxval) != 0) return -1;
-  /* exactly one whitespace byte separates maxval from payload */
-  if (pos >= len) return -1;
-  uint8_t c = buf[pos];
-  if (c != ' ' && c != '\t' && c != '\r' && c != '\n') return -1;
-  pos++;
+  /* fscanf's trailing "\n" greedily consumes the whitespace run (even a
+   * whitespace-valued first pixel byte -- faithful to the reference) */
+  skip_ws(buf, len, &pos);
   if (maxval != 255 || *w == 0 || *h == 0) return -1;
   if (len - pos < (size_t)(*w) * (*h)) return -1;
   *payload_off = pos;

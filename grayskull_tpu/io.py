@@ -2,10 +2,13 @@
 (/root/reference/grayskull.h:111-136).
 
 The reference accepts only binary P5 with maxval 255 and treats the path ``"-"`` as
-stdin/stdout.  The header is parsed like C ``fscanf("P5\\n%u %u\\n%u\\n")``: each
-whitespace in the format matches any run of whitespace, so ``P5 640 480 255`` on one
-line is also accepted.  (PGM comments are NOT supported by the reference, and are not
-supported here either — a ``#`` fails the parse, matching fscanf.)
+stdin/stdout.  The header is parsed with C fscanf semantics
+(``fscanf("P5\\n%u %u\\n%u\\n")``): every whitespace directive matches a run of
+*zero or more* whitespace bytes (so the degenerate ``P5640 480 255`` parses, and
+the run before the payload is consumed greedily — a leading whitespace-valued
+pixel byte is eaten, shortening the payload exactly like fscanf's pushback).
+PGM comments are NOT supported by the reference, and are not supported here
+either — a ``#`` fails the parse, matching fscanf.
 
 A native C fast path (csrc/gsio.c) is used for batched file loading when the
 compiled library is present; see :mod:`grayskull_tpu.native`.
@@ -22,7 +25,10 @@ import numpy as np
 
 __all__ = ["read_pgm", "write_pgm", "decode_pgm", "encode_pgm", "read_pgm_batch"]
 
-_HEADER_RE = re.compile(rb"^P5[ \t\r\n]+(\d+)[ \t\r\n]+(\d+)[ \t\r\n]+(\d+)[ \t\r\n]")
+_WS = b" \t\r\n\x0b\x0c"  # C isspace() set
+_HEADER_RE = re.compile(
+    rb"^P5[ \t\r\n\x0b\x0c]*(\d+)[ \t\r\n\x0b\x0c]+(\d+)[ \t\r\n\x0b\x0c]+(\d+)"
+)
 
 
 def decode_pgm(buf: bytes) -> Optional[np.ndarray]:
@@ -38,6 +44,9 @@ def decode_pgm(buf: bytes) -> Optional[np.ndarray]:
     if maxval != 255 or w == 0 or h == 0:
         return None
     start = m.end()
+    # fscanf's trailing "\n" directive greedily consumes the whitespace run
+    while start < len(buf) and buf[start : start + 1] in (b" ", b"\t", b"\r", b"\n", b"\x0b", b"\x0c"):
+        start += 1
     need = w * h
     data = buf[start : start + need]
     if len(data) != need:

@@ -131,9 +131,20 @@ def read_pgm_batch(paths, pad_to=None, threads: int = 8) -> np.ndarray:
     if not paths:
         return np.zeros((0, 0, 0), np.uint8)
     if pad_to is None:
+        # match the pure-Python fallback (io.read_pgm_batch): inconsistent
+        # frame sizes are an error, not a silent pad/crop to the first file
         dims = probe_pgm(paths[0])
         if dims is None:
             raise IOError(f"cannot read PGM: {paths[0]}")
+        for p in paths[1:]:
+            d = probe_pgm(p)
+            if d is None:
+                raise IOError(f"cannot read PGM: {p}")
+            if d != dims:
+                raise ValueError(
+                    f"inconsistent frame sizes without pad_to: {paths[0]} is "
+                    f"{dims[0]}x{dims[1]} but {p} is {d[0]}x{d[1]}"
+                )
         pad_to = (dims[1], dims[0])
     ph, pw = int(pad_to[0]), int(pad_to[1])
     n = len(paths)

@@ -51,6 +51,8 @@ class Oracle:
         L.o_trace_contour.argtypes = [_u8p, _u, _u, _u8p, _u, _u, _u32p]
         L.o_largest_blob_contour.argtypes = [_u8p, _u, _u, _u, _u32p]
         L.o_largest_blob_contour.restype = _i
+        L.o_read_pgm.argtypes = [ct.c_char_p, np.ctypeslib.ndpointer(np.uint32), np.ctypeslib.ndpointer(np.uint32), _u8p, _u]
+        L.o_read_pgm.restype = _i
         L.o_fast.argtypes = [_u8p, _u, _u, _u8p, _u, _u, _u32p, _u32p]
         L.o_fast.restype = _u
         L.o_compute_orientation.argtypes = [_u8p, _u, _u, _u, _u, _u]
@@ -213,6 +215,15 @@ class Oracle:
         out = np.zeros(5, np.uint32)
         self._lib.o_trace_contour(img, w, h, visited, start_x, start_y, out)
         return dict(box=tuple(int(v) for v in out[:4]), length=int(out[4]), visited=visited)
+
+    def read_pgm(self, path):
+        w = np.zeros(1, np.uint32)
+        h = np.zeros(1, np.uint32)
+        buf = np.zeros(1 << 22, np.uint8)
+        n = self._lib.o_read_pgm(path.encode(), w, h, buf, len(buf))
+        if n < 0:
+            return None
+        return buf[:n].reshape(int(h[0]), int(w[0])).copy()
 
     def largest_blob_contour(self, img, max_blobs=50):
         img, w, h = self._prep(img)

@@ -328,3 +328,17 @@ fail:
   free(blobs);
   return 0;
 }
+
+/* gs_read_pgm passthrough for header-parser differential tests.  Returns
+ * number of pixels (w*h) or -1; pixel data copied into out (caller-sized). */
+EXPORT int o_read_pgm(const char *path, unsigned *w, unsigned *h, uint8_t *out, unsigned cap) {
+  struct gs_image img = gs_read_pgm(path);
+  if (!gs_valid(img)) return -1;
+  *w = img.w;
+  *h = img.h;
+  unsigned n = img.w * img.h;
+  if (n > cap) n = cap;
+  for (unsigned i = 0; i < n; i++) out[i] = img.data[i];
+  gs_free(img);
+  return (int)(img.w * img.h);
+}

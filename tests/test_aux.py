@@ -52,3 +52,41 @@ def test_stream_demo_runs(tmp_path):
     assert proc.returncode == 0, proc.stderr[-500:]
     assert "blobs:" in proc.stdout
     assert (tmp_path / "overlay.pgm").exists()
+
+
+def test_pgm_header_fscanf_parity(oracle, tmp_path):
+    """decode_pgm matches gs_read_pgm's fscanf header semantics byte-for-byte,
+    including degenerate headers (zero separators after P5, greedy whitespace
+    runs before the payload, whitespace-valued first pixel bytes eaten)."""
+    import grayskull_tpu.io as gio
+
+    payload = bytes(range(12))
+    cases = [
+        b"P5\n4 3\n255\n" + payload,             # normal
+        b"P54 3 255 " + payload,                 # no whitespace after P5
+        b"P5\n4 3\n255\n\n\n" + payload,          # greedy run before payload
+        b"P5\n4 3\n255\n \t" + payload,           # mixed run
+        b"P5\n4 3\n255\n" + b" " + payload,       # ws-valued first pixel eaten
+        b"P5\n4 3\n254\n" + payload,              # wrong maxval
+        b"P5\n4 3\n255\n" + payload[:-1],         # short payload
+        b"P6\n4 3\n255\n" + payload,              # wrong magic
+        b"P5\n4 3 255 " + payload,                # all on one run
+        b"P5  4\t3\r255\n" + payload,             # arbitrary separators
+    ]
+    for i, buf in enumerate(cases):
+        p = tmp_path / f"case_{i}.pgm"
+        p.write_bytes(buf)
+        ref = oracle.read_pgm(str(p))
+        got = gio.decode_pgm(buf)
+        if ref is None:
+            assert got is None, f"case {i}: C rejects, we accept"
+        else:
+            assert got is not None, f"case {i}: C accepts, we reject"
+            np.testing.assert_array_equal(got, ref, err_msg=f"case {i}")
+        # native C loader agrees too
+        try:
+            from grayskull_tpu import native
+            nd = native.probe_pgm(str(p))
+            assert (nd is not None) == (ref is not None), f"case {i}: native probe"
+        except RuntimeError:
+            pass
