@@ -17,6 +17,11 @@ from .sharded import (  # noqa: F401
     preprocess_sharded,
     preprocess_spatial_shardmap,
 )
+from .sparse import (  # noqa: F401
+    label_components_sharded,
+    lbp_detect_sharded,
+    match_orb_sharded,
+)
 
 __all__ = [
     "make_mesh",
@@ -24,4 +29,7 @@ __all__ = [
     "integral_sharded",
     "preprocess_sharded",
     "preprocess_spatial_shardmap",
+    "label_components_sharded",
+    "match_orb_sharded",
+    "lbp_detect_sharded",
 ]
