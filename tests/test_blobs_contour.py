@@ -304,3 +304,41 @@ def test_find_contours_skips_visited():
     out = find_contours(jnp.asarray(img), max_contours=4, max_blobs=8)
     assert int(out.n) == 1
     assert int(out.length[0]) > 0
+
+
+def test_blobs_past_capacity_divergence_pinned(oracle):
+    """Past-capacity semantics (grayskull.h:348): C silently drops pixels
+    whose component seed arrives after the label counter exhausts nblobs —
+    even if those pixels later reconnect to an in-capacity component.  We
+    deliberately do NOT reproduce the drops (ops/blobs.py:17-22): components
+    are fully merged and ``overflowed`` flags the condition.  This test pins
+    the exact divergence on a crafted image.
+    """
+    from grayskull_tpu.ops.blobs import blobs
+
+    # cap=2.  Column 0 rows 0..3 plus a row-3 bridge is component A (label 1).
+    # A dot at (0,4) takes label 2.  A dot at (0,8) plus the column below it
+    # would take label 3 -> dropped by C -- but row 3 reconnects the column
+    # to A, so C counts only the pixels reachable without passing through a
+    # dropped pixel.
+    img = np.zeros((6, 12), np.uint8)
+    img[0:4, 0] = 255            # A's left arm
+    img[3, 0:9] = 255            # bridge
+    img[0, 4] = 255              # dot -> label 2
+    img[0:3, 8] = 255            # column seeded past capacity -> dropped in C
+    ref = oracle.blobs(img, 2)
+    table, labels, ovf = blobs(jnp.asarray(img), 2)
+
+    assert bool(ovf), "overflow must be flagged"
+    assert ref["n"] == int(table.n) == 2
+    np.testing.assert_array_equal(ref["label"], np.asarray(table.label)[:2])
+    # C's label-1 area misses exactly the 3 dropped column pixels (rows 0..2
+    # of col 8); ours counts the fully merged component
+    assert int(np.asarray(table.area)[0]) == int(ref["area"][0]) + 3
+    # the dot at (0,4) is unaffected either way
+    assert int(np.asarray(table.area)[1]) == int(ref["area"][1]) == 1
+    # both agree on the bounding box (the bridge pixel (3,8) is in-capacity)
+    np.testing.assert_array_equal(
+        np.asarray([table.box.x[0], table.box.y[0], table.box.w[0], table.box.h[0]]),
+        ref["box"][0],
+    )
