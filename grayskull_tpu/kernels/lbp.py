@@ -175,11 +175,23 @@ def lbp_eval_scale(cascade, iib: jnp.ndarray, scale: float, ny: int, nx: int):
 
 
 def lbp_pallas_available(cascade, ih: int, iw: int, scale: float, step: int) -> bool:
-    """Geometry gate for the Pallas path (step 1, VMEM-sized integral)."""
+    """Geometry gate for the Pallas path (step 1, VMEM-sized integral).
+
+    Mirrors ``lbp_eval_scale``'s actual padded-block allocation: the per-frame
+    VMEM block is ``((nty-1)*TH + rh, (ntx-1)*TW + rw)``, NOT the full image
+    padded by the window span on every side.
+    """
     if step != 1:
         return False
     used, geo = _plan(cascade, scale)
-    win = max(geo["rh"], geo["rw"])
-    Hp = _round(ih + win, 8) + win
-    Wp = _round(iw + win, 128) + win
+    f = np.float32
+    win_w = int(f(cascade.window_w) * f(scale))
+    win_h = int(f(cascade.window_h) * f(scale))
+    ny = ih - win_h + 1
+    nx = iw - win_w + 1
+    if ny <= 0 or nx <= 0:
+        return False
+    nty, ntx = -(-ny // _TH), -(-nx // _TW)
+    Hp = (nty - 1) * _TH + geo["rh"]
+    Wp = (ntx - 1) * _TW + geo["rw"]
     return Hp * Wp * 4 <= 6 * 1024 * 1024

@@ -151,3 +151,26 @@ def test_opencv_xml_loader(tmp_path, cascade):
     assert c.weak_num_subsets.tolist() == [8, 8]
     assert c.subsets[:2].tolist() == [-67130709, -21569]
     assert np.isclose(c.weak_left_val[0], -0.6)
+
+
+def _tpu_default():
+    import jax
+
+    d = jax.config.jax_default_device
+    return jax.default_backend() == "tpu" and (
+        d is None or getattr(d, "platform", "tpu") == "tpu"
+    )
+
+
+@pytest.mark.skipif(not _tpu_default(), reason="Pallas LBP kernel needs TPU as default device")
+def test_lbp_pallas_matches_xla(testdata, cascade):
+    """The Pallas cascade evaluator must be bit-exact vs the XLA formulation
+    at a resolution where the VMEM gate opens (640x480 integral)."""
+    from grayskull_tpu.kernels.lbp import lbp_pallas_available
+
+    img = testdata["aruco"]  # 640x480
+    assert lbp_pallas_available(load_frontalface(), 480, 640, 1.0, 1)
+    ii = gs.integral(img)
+    fast = rects_arr(lbp_detect(cascade, ii, 100, 1.2, 1.0, 4.0, 1))
+    ref = rects_arr(lbp_detect(cascade, ii, 100, 1.2, 1.0, 4.0, 1, force_xla=True))
+    np.testing.assert_array_equal(fast, ref)
