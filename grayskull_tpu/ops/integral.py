@@ -8,18 +8,34 @@ integers since modular addition is associative even under wraparound).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 __all__ = ["integral", "integral_sum"]
 
 
-@jax.jit
-def integral(img: jnp.ndarray) -> jnp.ndarray:
+def _on_tpu() -> bool:
+    default_dev = jax.config.jax_default_device
+    return jax.default_backend() == "tpu" and (
+        default_dev is None or getattr(default_dev, "platform", "tpu") == "tpu"
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("force_xla",))
+def integral(img: jnp.ndarray, force_xla: bool = False) -> jnp.ndarray:
     """Inclusive 2D prefix sum, uint32 — ``gs_integral`` (grayskull.h:744-752).
 
-    Accepts (H, W) or (N, H, W) uint8; returns same shape uint32.
+    Accepts (H, W) or (N, H, W) uint8; returns same shape uint32.  On TPU a
+    single-pass Pallas strip kernel (MXU triangular-matmul scans, ~2.6x) is
+    used when the geometry allows; the XLA double-cumsum covers the rest.
     """
+    if _on_tpu() and not force_xla and img.ndim in (2, 3):
+        from ..kernels.integral import integral_pallas, integral_pallas_available
+
+        if integral_pallas_available(img.shape[-2], img.shape[-1]):
+            return integral_pallas(img)
     x = img.astype(jnp.uint32)
     return jnp.cumsum(jnp.cumsum(x, axis=-1), axis=-2)
 

@@ -125,3 +125,27 @@ def test_perspective_document_scan_quad(oracle, testdata):
     ours = np.asarray(gs.perspective_correct(img, c, (1000, 800)))
     ref = oracle.perspective_correct(img, c, 1000, 800)
     assert np.array_equal(ours, ref), np.argwhere(ours != ref)[:5]
+
+
+def _tpu_default():
+    import jax
+
+    d = jax.config.jax_default_device
+    return jax.default_backend() == "tpu" and (
+        d is None or getattr(d, "platform", "tpu") == "tpu"
+    )
+
+
+@pytest.mark.skipif(not _tpu_default(), reason="Pallas integral kernel needs TPU")
+def test_integral_pallas_matches_xla(rng):
+    """Single-pass MXU integral kernel must be bit-exact vs the XLA cumsums,
+    including uint32 wraparound on large frames and padded geometries."""
+    for shape in [(480, 640), (1024, 1024), (37, 130), (768, 1024)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        fast = np.asarray(gs.integral(img))
+        ref = np.asarray(gs.integral(img, force_xla=True))
+        np.testing.assert_array_equal(fast, ref, err_msg=str(shape))
+    batch = rng.integers(0, 256, (3, 256, 384), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(gs.integral(batch)), np.asarray(gs.integral(batch, force_xla=True))
+    )
