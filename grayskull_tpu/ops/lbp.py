@@ -236,17 +236,25 @@ def lbp_detect(cascade: LbpCascade, ii: jnp.ndarray, max_rects: int,
         default_dev is None or getattr(default_dev, "platform", "tpu") == "tpu"
     )
 
+    from ..kernels.lbp import lbp_eval_scale, lbp_pad_for, lbp_pallas_available
+
+    use_pallas = [
+        on_tpu and not force_xla and lbp_pallas_available(cascade, ih, iw, scale, step)
+        for scale, _, _ in ladder
+    ]
+    # one shared padded integral for every Pallas scale (padding per scale
+    # costs a full HBM copy of the batch)
+    iip = lbp_pad_for(cascade, iib, ladder, ih, iw, step) if any(use_pallas) else None
+
     hits = []
     metas = []
-    for scale, win_w, win_h in ladder:
+    for (scale, win_w, win_h), pallas_ok in zip(ladder, use_pallas):
         ys = np.arange(0, ih - win_h + 1, step, dtype=np.int32)
         xs = np.arange(0, iw - win_w + 1, step, dtype=np.int32)
         if len(ys) == 0 or len(xs) == 0:
             continue
-        from ..kernels.lbp import lbp_eval_scale, lbp_pallas_available
-
-        if on_tpu and not force_xla and lbp_pallas_available(cascade, ih, iw, scale, step):
-            ok = lbp_eval_scale(cascade, iib, scale, len(ys), len(xs))
+        if pallas_ok:
+            ok = lbp_eval_scale(cascade, iip, scale, len(ys), len(xs))
         else:
             ok = _eval_windows(cascade, iib, scale, len(ys), len(xs), step)
         hits.append(ok.reshape(nb, -1))
@@ -268,16 +276,22 @@ def lbp_detect(cascade: LbpCascade, ii: jnp.ndarray, max_rects: int,
     all_h = jnp.asarray(np.concatenate([m[3] for m in metas]))
 
     def emit(m):
-        rank = jnp.cumsum(m.astype(jnp.int32)) - 1
-        ok = m & (rank < cap)
-        dst = jnp.where(ok, rank, cap)
+        # first `cap` set windows in ladder order WITHOUT a big scatter
+        # (scatters/cumsum-rank over ~1.6M windows serialize on TPU): top_k
+        # over descending inverse window index keys yields them directly.
+        total = m.shape[0]
+        key = jnp.where(m, total - jnp.arange(total, dtype=jnp.int32), 0)
+        vals, _ = jax.lax.top_k(key, min(cap, total))
+        if cap > total:
+            vals = jnp.pad(vals, (0, cap - total))
+        row_ok = vals > 0
+        widx = jnp.where(row_ok, total - vals, 0)
+        n = jnp.sum(row_ok).astype(jnp.int32)
 
-        def scatter(v):
-            return jnp.zeros(cap + 1, v.dtype).at[dst].set(v, mode="drop")[:cap]
+        def take(v):
+            return jnp.where(row_ok, v[widx], 0)
 
-        n = jnp.minimum(jnp.sum(m.astype(jnp.int32)), cap)
-        return Rects(n=n.astype(jnp.int32), x=scatter(all_x), y=scatter(all_y),
-                     w=scatter(all_w), h=scatter(all_h))
+        return Rects(n=n, x=take(all_x), y=take(all_y), w=take(all_w), h=take(all_h))
 
     table = jax.vmap(emit)(mask)
     if single:
