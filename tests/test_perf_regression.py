@@ -28,6 +28,13 @@ def test_headline_perf_floor():
         floors = json.load(f)
     failures = []
     for key, floor in floors.items():
+        if key.endswith("_max"):  # latency ceilings: lower is better
+            got = results.get(key[: -len("_max")])
+            if got is None:
+                failures.append(f"{key}: missing from results.json")
+            elif got > floor:
+                failures.append(f"{key}: {got} > ceiling {floor}")
+            continue
         got = results.get(key)
         if got is None:
             failures.append(f"{key}: missing from results.json")
