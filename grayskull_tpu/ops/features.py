@@ -114,34 +114,53 @@ def _rank_scatter(mask_flat, cap, values):
     return n.astype(jnp.int32), outs
 
 
+def _on_tpu() -> bool:
+    default_dev = jax.config.jax_default_device
+    return jax.default_backend() == "tpu" and (
+        default_dev is None or getattr(default_dev, "platform", "tpu") == "tpu"
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("max_kps",))
 def fast(img: jnp.ndarray, max_kps: int, threshold):
     """FAST-9 with 3x3 NMS — ``gs_fast`` (grayskull.h:482-534).
 
     Returns a :class:`Keypoints` table (angle/descriptor zeroed) with up to
     ``max_kps`` corners in raster-scan order, plus the score map.
+
+    On TPU a fused Pallas kernel produces the score map, the NMS mask and
+    the packed scan-order keys in one VMEM pass (the XLA formulation streams
+    ~140 full-frame intermediates through HBM).
     """
     h, w = img.shape
     cap = int(max_kps)
-    score = fast_scoremap(img, threshold)
-    s = score.astype(jnp.int32)
-    sp = jnp.pad(s, 1)
-    is_max = s > 0
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            if dx == 0 and dy == 0:
-                continue
-            is_max &= ~(sp[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w] > s)
-    ys = jnp.arange(h)[:, None]
-    xs = jnp.arange(w)[None, :]
-    interior = (ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3)
-    mask = (is_max & interior).reshape(-1)
-    # scan-order emission WITHOUT a big scatter (scatters serialize on TPU):
-    # pack (inverse raster index << 8) | score into one key — top_k then yields
-    # the first `cap` corners in raster order, and the score rides along free.
-    # score <= 255 and h*w << 2^23 keep the packing collision-free in int32.
-    idx = jnp.arange(h * w, dtype=jnp.int32)
-    key = jnp.where(mask, ((h * w - idx) << 8) | s.reshape(-1), 0)
+    from ..kernels.fast import fast_pallas, fast_pallas_available
+
+    if _on_tpu() and fast_pallas_available(h, w):
+        score3, key3 = fast_pallas(img[None], threshold)
+        score = score3[0]
+        key = key3[0].reshape(-1)
+    else:
+        score = fast_scoremap(img, threshold)
+        s = score.astype(jnp.int32)
+        sp = jnp.pad(s, 1)
+        is_max = s > 0
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                is_max &= ~(sp[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w] > s)
+        ys = jnp.arange(h)[:, None]
+        xs = jnp.arange(w)[None, :]
+        interior = (ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3)
+        mask = (is_max & interior).reshape(-1)
+        # scan-order emission WITHOUT a big scatter (scatters serialize on
+        # TPU): pack (inverse raster index << 8) | score into one key — top_k
+        # then yields the first `cap` corners in raster order, and the score
+        # rides along free.  score <= 255 and h*w << 2^23 keep the packing
+        # collision-free in int32.
+        idx = jnp.arange(h * w, dtype=jnp.int32)
+        key = jnp.where(mask, ((h * w - idx) << 8) | s.reshape(-1), 0)
     vals, _ = jax.lax.top_k(key, min(cap, h * w))
     if cap > h * w:
         vals = jnp.pad(vals, (0, cap - h * w))
@@ -314,9 +333,8 @@ def _orientation_from_patches(patches, radius: int):
     return _atan2f_impl(m01.astype(jnp.float32), m10.astype(jnp.float32))
 
 
-def _brief_from_patches(patches, angle):
-    """512 rotated BRIEF samples per patch via one-hot row select (MXU) +
-    one-hot column mask — no gathers.  See ``_brief_batch``."""
+def _brief_offsets(angle):
+    """Rotated, truncated, patch-relative sample offsets (N, 512) int32."""
     from ..libm32 import exact_mode
 
     sin_a = _sinf_impl(angle)[:, None]
@@ -330,7 +348,23 @@ def _brief_from_patches(patches, angle):
     # C (int) casts truncate toward zero; +PAD makes them patch-relative
     dx = dx1.astype(jnp.int32) + _BRIEF_PAD  # (N, 512) in [0, 41)
     dy = dy1.astype(jnp.int32) + _BRIEF_PAD
+    return dy, dx
 
+
+def _brief_from_patches(patches, angle):
+    """512 rotated BRIEF samples per patch via one-hot row select (MXU) +
+    one-hot column mask — no gathers.  See ``_brief_batch``.
+
+    On TPU the sampling runs in a Pallas kernel (block-diagonal one-hot
+    matmul, everything VMEM-resident); elsewhere the same algebra streams
+    through XLA.
+    """
+    dy, dx = _brief_offsets(angle)
+
+    # NOTE: a Pallas per-keypoint sampler (block-diagonal one-hot matmuls in
+    # VMEM) was measured SLOWER than this batched einsum on v5e — 128 serial
+    # (512,48)@(48,48) matmuls underutilize the MXU; XLA's batched lowering
+    # wins despite the HBM one-hot traffic.
     P = _BRIEF_PATCH
     ar = jnp.arange(P)
     oh_y = (dy[:, :, None] == ar[None, None, :]).astype(jnp.bfloat16)

@@ -226,3 +226,37 @@ def test_track_aruco(oracle, testdata, exact_libm):
     )
     assert n == len(ref_m)
     np.testing.assert_array_equal(ours, ref_m.astype(np.int64))
+
+
+def _tpu_default():
+    import jax
+
+    d = jax.config.jax_default_device
+    return jax.default_backend() == "tpu" and (
+        d is None or getattr(d, "platform", "tpu") == "tpu"
+    )
+
+
+@pytest.mark.skipif(not _tpu_default(), reason="fused FAST kernel needs TPU")
+def test_fast_pallas_matches_xla(testdata):
+    """The fused Pallas FAST kernel (scoremap + NMS + packed keys) must be
+    bit-exact vs the XLA formulation, including the wraparound quirks."""
+    import jax
+
+    from grayskull_tpu.ops.features import fast, fast_scoremap
+    from grayskull_tpu.kernels.fast import fast_pallas
+
+    img = testdata["aruco"]
+    for thr in (5, 20, 80):
+        s_ref = np.asarray(fast_scoremap(img, thr))
+        s_p, _ = fast_pallas(img[None], thr)
+        np.testing.assert_array_equal(np.asarray(s_p)[0], s_ref, err_msg=f"thr={thr}")
+    kps, score = fast(img, 2000, 20)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        kps_c, score_c = fast(jax.device_put(img, cpu), 2000, 20)
+    np.testing.assert_array_equal(np.asarray(score), np.asarray(score_c))
+    for f in ("n", "x", "y", "response"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(kps, f)), np.asarray(getattr(kps_c, f)), err_msg=f
+        )
