@@ -307,7 +307,11 @@ def main(argv=None):
     if img is None:
         _err(f"Could not load {in_path}")
         return 1
-    out = fn(img, argv[2 : 2 + argc])
+    from . import structlog
+
+    with structlog.timed("cli.command", command=name, input=in_path,
+                         shape=list(img.shape)):
+        out = fn(img, argv[2 : 2 + argc])
     if hasout:
         if out is None:
             _err(f"Command '{name}' did not produce output image")

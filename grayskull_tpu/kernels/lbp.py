@@ -63,9 +63,11 @@ def _lbp_scale_kernel(ii_ref, out_ref, *, cascade, ny, nx, used, geo, tw):
     rh, rw = geo["rh"], geo["rw"]
     region = ii_ref[0, pl.ds(ty * _TH, rh), pl.ds(tx * tw, rw)]  # uint32
 
-    mh, mw = _TH + geo["ey"], tw + geo["ex"]
+    # per-size-tight map extents (building to the global ey/ex wastes ~2x)
     maps = {}
     for (w_, h_) in used:
+        mh = _TH + geo["ey_s"][(w_, h_)]
+        mw = tw + geo["ex_s"][(w_, h_)]
         maps[(w_, h_)] = (
             region[h_ : h_ + mh, w_ : w_ + mw]
             + region[0:mh, 0:mw]
@@ -146,6 +148,10 @@ def _plan(cascade, scale: float, tw: int):
     used = tuple(sorted(set((int(fw[f]), int(fh[f])) for f in wi)))
     ey = max(int(fy[f] + 3 * fh[f]) for f in wi) + 1
     ex = max(int(fx[f] + 3 * fw[f]) for f in wi) + 1
+    ey_s = {s: max(int(fy[f] + 3 * fh[f]) for f in wi
+                   if (int(fw[f]), int(fh[f])) == s) + 1 for s in used}
+    ex_s = {s: max(int(fx[f] + 3 * fw[f]) for f in wi
+                   if (int(fw[f]), int(fh[f])) == s) + 1 for s in used}
     max_h = max(h_ for (_, h_) in used)
     max_w = max(w_ for (_, w_) in used)
     subs, counts = _subset_matrix(cascade)
@@ -153,7 +159,7 @@ def _plan(cascade, scale: float, tw: int):
                counts=counts.astype(np.int32),
                lefts=np.asarray(cascade.weak_left_val, np.float32),
                rights=np.asarray(cascade.weak_right_val, np.float32),
-               ey=ey, ex=ex,
+               ey=ey, ex=ex, ey_s=ey_s, ex_s=ex_s,
                rh=_round(_TH + ey + max_h, 8), rw=_round(tw + ex + max_w, 128))
     return used, geo
 

@@ -90,3 +90,48 @@ def test_pgm_header_fscanf_parity(oracle, tmp_path):
             assert (nd is not None) == (ref is not None), f"case {i}: native probe"
         except RuntimeError:
             pass
+
+
+def test_structlog_jsonl(tmp_path):
+    """Structured logging: JSONL events with timing, GS_LOG sink selection."""
+    import json
+
+    from grayskull_tpu import structlog
+
+    log = tmp_path / "events.jsonl"
+    structlog.configure(str(log))
+    assert structlog.enabled()
+    structlog.event("unit.test", answer=42)
+    with structlog.timed("unit.timer", tag="x"):
+        pass
+    structlog.configure(None)
+    assert not structlog.enabled()
+    structlog.event("dropped")  # no sink: must be a no-op
+    lines = [json.loads(ln) for ln in log.read_text().splitlines()]
+    assert lines[0]["event"] == "unit.test" and lines[0]["answer"] == 42
+    assert lines[1]["event"] == "unit.timer" and lines[1]["elapsed_ms"] >= 0
+    assert len(lines) == 2
+
+
+def test_cli_emits_structured_log(tmp_path):
+    """The CLI logs one cli.command event when GS_LOG is set."""
+    import json
+
+    import numpy as np
+
+    import grayskull_tpu as gs
+    from grayskull_tpu import cli, structlog
+
+    img = (np.arange(32 * 32) % 256).astype(np.uint8).reshape(32, 32)
+    src = tmp_path / "in.pgm"
+    dst = tmp_path / "out.pgm"
+    gs.io.write_pgm(img, str(src))
+    log = tmp_path / "cli.jsonl"
+    structlog.configure(str(log))
+    try:
+        rc = cli.main(["nanomagick", "blur", "2", str(src), str(dst)])
+    finally:
+        structlog.configure(None)
+    assert rc == 0 and dst.exists()
+    recs = [json.loads(ln) for ln in log.read_text().splitlines()]
+    assert any(r["event"] == "cli.command" and r["command"] == "blur" for r in recs)
