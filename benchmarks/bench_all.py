@@ -144,6 +144,43 @@ def main():
             dtb = timeit(lambda b: gs.pipelines.scan(b), db, iters=iters)
             results["document_scan_batched_fps"] = 8 / dtb
 
+    # 4b. BASELINE config #2: receipt adaptive threshold + morphology cleanup
+    rec_path = os.path.join(ref, "testdata", "receipt.pgm")
+    if os.path.exists(rec_path):
+        rec = gs.io.read_pgm(rec_path)
+        nb2 = (64 if on_tpu else 2) if args.quick else (256 if on_tpu else 2)
+        rb = jnp.asarray(np.stack([np.roll(rec, 5 * i, axis=1) for i in range(nb2)]))
+
+        @jax.jit
+        def adaptive_morph(x):
+            return gs.erode(gs.dilate(gs.adaptive_threshold(x, 15, 5)))
+
+        dt = timeit(adaptive_morph, rb, iters=iters)
+        results["adaptive_morph_816x612_fps"] = nb2 / dt
+        if orc:
+            t0 = time.perf_counter()
+            orc.erode(orc.dilate(orc.adaptive_threshold(rec, 15, 5)))
+            results["adaptive_morph_816x612_fps_c_reference"] = 1 / (time.perf_counter() - t0)
+
+    # 4c. BASELINE config #4: two-frame ORB tracking (extract x2 + match).
+    # aruco.pgm per BASELINE.json — the tiled-lena frame is self-similar and
+    # the Lowe ratio test rejects every match on it.
+    aruco_path = os.path.join(ref, "testdata", "aruco.pgm")
+    track_src = gs.io.read_pgm(aruco_path) if os.path.exists(aruco_path) else scene
+    tmpl = jnp.asarray(track_src)
+    scene2 = jnp.asarray(np.roll(track_src, 9, axis=1))
+
+    @jax.jit
+    def track_pair(a, b):
+        k1 = gs.ops.orb_extract(a, 500, 20)
+        k2 = gs.ops.orb_extract(b, 500, 20)
+        return gs.ops.match_orb(k1, k2, 200, 64)
+
+    m = track_pair(tmpl, scene2)
+    dt = timeit(track_pair, tmpl, scene2, iters=iters)
+    results["orb_track_pair_fps"] = 1 / dt
+    results["orb_track_pair_matches"] = int(m.n)
+
     # 5. single ops on the 1MP batch (bytes = app-level reads+writes)
     MP = 1024 * 1024
     for name, fn, bpf in [

@@ -342,3 +342,43 @@ def test_blobs_past_capacity_divergence_pinned(oracle):
         np.asarray([table.box.x[0], table.box.y[0], table.box.w[0], table.box.h[0]]),
         ref["box"][0],
     )
+
+
+def _tpu_default():
+    import jax
+
+    d = jax.config.jax_default_device
+    return jax.default_backend() == "tpu" and (
+        d is None or getattr(d, "platform", "tpu") == "tpu"
+    )
+
+
+@pytest.mark.skipif(not _tpu_default(), reason="matmul blob aggregation needs TPU")
+def test_blobs_matmul_aggregation_matches_cpu(testdata):
+    """The TPU one-hot-matmul blob statistics must equal the CPU segment-op
+    path field for field (area/bbox/centroid/labels/compaction order)."""
+    import jax
+
+    from grayskull_tpu.ops.blobs import blobs
+    from grayskull_tpu.pipelines.scan import preprocess_binarize
+
+    binary = preprocess_binarize(testdata["document"])
+    tbl, labels, ov = blobs(binary, 1000)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        tbl_c, labels_c, ov_c = blobs(jax.device_put(binary, cpu), 1000)
+    np.testing.assert_array_equal(np.asarray(labels), np.asarray(labels_c))
+    assert bool(ov) == bool(ov_c)
+    for f in ("n", "label", "area"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(tbl, f)), np.asarray(getattr(tbl_c, f)), err_msg=f
+        )
+    for f in ("x", "y", "w", "h"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(tbl.box, f)), np.asarray(getattr(tbl_c.box, f)), err_msg=f
+        )
+    for f in ("x", "y"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(tbl.centroid, f)),
+            np.asarray(getattr(tbl_c.centroid, f)), err_msg=f,
+        )
