@@ -116,9 +116,10 @@ def main():
         # rate from the C extraction's own keypoint count (can differ from ours)
         results["orb_keypoints_per_sec_c_reference"] = c_out["n"] / c_dt
 
-    # 3. LBP detection on 640x480, full ladder, step 1
+    # 3. LBP detection on 640x480, full ladder, step 1 (batch 32 amortizes
+    # the per-scale kernel launches; per-frame work is batch-invariant)
     casc = load_frontalface()
-    nb = 8 if on_tpu else 1
+    nb = 32 if on_tpu else 1
     fb = np.stack([np.roll(scene, 7 * i, axis=1) for i in range(nb)])
     iib = jnp.asarray(np.asarray(gs.integral(fb)))
     lad = scale_ladder(casc, 640, 480, 1.2, 1.0, 4.0)
