@@ -31,7 +31,10 @@ testdata:
 
 GRAYSKULL_REF_DIR ?= /root/reference
 
+demo:
+	$(PYTHON) examples/live_demo.py
+
 goldens:
 	$(PYTHON) tools/gen_goldens.py
 
-.PHONY: all native test test-fast bench bench-all testdata goldens
+.PHONY: all native test test-fast bench bench-all testdata demo goldens

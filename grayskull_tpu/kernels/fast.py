@@ -30,9 +30,23 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .preproc import _halo16, _pick_block
+from .preproc import _halo16
 
 __all__ = ["fast_pallas", "fast_pallas_available"]
+
+
+def _pick_block(h: int, w: int) -> int:
+    """Row-block size for the FAST kernel.
+
+    The kernel keeps ~30 (blk+2, W) int32 intermediates live (16 circle
+    views, run counters, diffs), so its VMEM budget is much tighter than the
+    preproc kernels': blk*W <= 48K keeps the working set ~6 MB (a 256x512
+    frame at preproc's 256K bound hit a 33 MB scoped-vmem OOM).
+    """
+    for blk in (256, 128, 64, 32, 16, 8):
+        if h % blk == 0 and blk * w <= 48 * 1024:
+            return blk
+    return 0
 
 # FAST Bresenham circle of radius 3 (grayskull.h:485-486)
 _CDX = (0, 1, 2, 3, 3, 3, 2, 1, 0, -1, -2, -3, -3, -3, -2, -1)

@@ -251,6 +251,17 @@ def test_fast_pallas_matches_xla(testdata):
         s_ref = np.asarray(fast_scoremap(img, thr))
         s_p, _ = fast_pallas(img[None], thr)
         np.testing.assert_array_equal(np.asarray(s_p)[0], s_ref, err_msg=f"thr={thr}")
+    # other gated geometries (blk selection varies) + batched path
+    for key, hw in (("lena", None), ("grayskull", (256, 512))):
+        im2 = testdata[key]
+        if hw is not None:
+            im2 = im2[: hw[0], : hw[1]].copy()
+        s_ref = np.asarray(fast_scoremap(im2, 20))
+        s_p, _ = fast_pallas(im2[None], 20)
+        np.testing.assert_array_equal(np.asarray(s_p)[0], s_ref, err_msg=key)
+    both = np.stack([np.asarray(testdata["aruco"])] * 2)
+    s2, _ = fast_pallas(both, 20)
+    np.testing.assert_array_equal(np.asarray(s2)[0], np.asarray(s2)[1])
     kps, score = fast(img, 2000, 20)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
