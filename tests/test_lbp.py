@@ -174,3 +174,13 @@ def test_lbp_pallas_matches_xla(testdata, cascade):
     fast = rects_arr(lbp_detect(cascade, ii, 100, 1.2, 1.0, 4.0, 1))
     ref = rects_arr(lbp_detect(cascade, ii, 100, 1.2, 1.0, 4.0, 1, force_xla=True))
     np.testing.assert_array_equal(fast, ref)
+
+
+@pytest.mark.skipif(not _tpu_default(), reason="Pallas LBP kernel needs TPU as default device")
+def test_lbp_pallas_multitile_800x600(testdata, cascade):
+    """800x600 engages the ntx=2 strip-tiling path; bounded ladder for compile time."""
+    img = testdata["grayskull"]
+    ii = gs.integral(img)
+    fast = rects_arr(lbp_detect(cascade, ii, 100, 1.2, 1.0, 2.0, 1))
+    ref = rects_arr(lbp_detect(cascade, ii, 100, 1.2, 1.0, 2.0, 1, force_xla=True))
+    np.testing.assert_array_equal(fast, ref)
