@@ -157,19 +157,29 @@ def fast(img: jnp.ndarray, max_kps: int, threshold):
         # scan-order emission WITHOUT a big scatter (scatters serialize on
         # TPU): pack (inverse raster index << 8) | score into one key — top_k
         # then yields the first `cap` corners in raster order, and the score
-        # rides along free.  score <= 255 and h*w << 2^23 keep the packing
+        # rides along free.  score <= 255 and h*w < 2^23 keep the packing
         # collision-free in int32.
         idx = jnp.arange(h * w, dtype=jnp.int32)
-        key = jnp.where(mask, ((h * w - idx) << 8) | s.reshape(-1), 0)
+        if h * w < (1 << 23):
+            key = jnp.where(mask, ((h * w - idx) << 8) | s.reshape(-1), 0)
+        else:
+            # huge frames: unpacked keys (the shift would overflow int32);
+            # scores come from a tiny cap-sized gather instead
+            key = jnp.where(mask, h * w - idx, 0)
+    packed = h * w < (1 << 23)  # the Pallas gate implies this, so both paths agree
     vals, _ = jax.lax.top_k(key, min(cap, h * w))
     if cap > h * w:
         vals = jnp.pad(vals, (0, cap - h * w))
     row_valid = vals > 0
     n = jnp.sum(row_valid).astype(jnp.int32)
-    ridx = h * w - (vals >> 8)
+    ridx = h * w - (vals >> 8) if packed else h * w - vals
     tx = jnp.where(row_valid, ridx % w, 0).astype(jnp.int32)
     ty = jnp.where(row_valid, ridx // w, 0).astype(jnp.int32)
-    tr = jnp.where(row_valid, vals & 255, 0).astype(jnp.int32)
+    if packed:
+        tr = jnp.where(row_valid, vals & 255, 0).astype(jnp.int32)
+    else:
+        safe = jnp.clip(ridx, 0, h * w - 1)
+        tr = jnp.where(row_valid, score.reshape(-1)[safe].astype(jnp.int32), 0)
     return (
         Keypoints(
             n=n, x=tx, y=ty, response=tr,
