@@ -224,7 +224,9 @@ def make_handler(demo: Demo):
                     resp = demo.frame(i, spec, analyzers)
                     body = json.dumps(resp).encode()
                     code = 200
-                except Exception as e:  # surface pipeline errors in the UI
+                except (Exception, SystemExit) as e:
+                    # surface pipeline errors in the UI (build_pipeline raises
+                    # SystemExit for unknown ops — keep the server alive)
                     body = json.dumps({"error": str(e)}).encode()
                     code = 400
                 self.send_response(code)

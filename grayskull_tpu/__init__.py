@@ -18,7 +18,7 @@ division, unsigned wraparound, float32 truncation); see tests/ for the
 differential harness.
 """
 
-from . import cascade, core, io, ops, pipelines  # noqa: F401
+from . import cascade, core, io, ops, pipelines, structlog  # noqa: F401
 from .core import (  # noqa: F401
     Blobs,
     Contour,

@@ -135,3 +135,43 @@ def test_cli_emits_structured_log(tmp_path):
     assert rc == 0 and dst.exists()
     recs = [json.loads(ln) for ln in log.read_text().splitlines()]
     assert any(r["event"] == "cli.command" and r["command"] == "blur" for r in recs)
+
+
+def test_live_demo_server(tmp_path):
+    """The interactive demo's /frame endpoint serves a frame + overlay tables."""
+    import base64
+    import http.client
+    import json
+    import sys
+    import threading
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    import live_demo
+
+    frames = live_demo.synth_frames(4, 64, 96)
+    demo = live_demo.Demo(frames)
+    srv = live_demo.ThreadingHTTPServer(("127.0.0.1", 0), live_demo.make_handler(demo))
+    port = srv.server_address[1]
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("GET", "/")
+        page = conn.getresponse().read().decode()
+        assert "pipeline" in page and "canvas" in page
+        conn.request(
+            "GET", "/frame?i=1&pipeline=blur:1,threshold:otsu&analyzers=blobs,keypoints"
+        )
+        resp = conn.getresponse()
+        assert resp.status == 200
+        d = json.loads(resp.read())
+        assert d["w"] == 96 and d["h"] == 64
+        assert len(base64.b64decode(d["pixels"])) == 64 * 96
+        assert "blobs" in d and "keypoints" in d
+        # unknown ops surface as a 400 with an error body, not a crash
+        conn.request("GET", "/frame?i=0&pipeline=nosuchop&analyzers=")
+        resp = conn.getresponse()
+        assert resp.status == 400 and "error" in json.loads(resp.read())
+    finally:
+        srv.shutdown()
+        srv.server_close()
