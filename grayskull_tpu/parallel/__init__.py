@@ -18,6 +18,7 @@ from .sharded import (  # noqa: F401
     preprocess_spatial_shardmap,
 )
 from .sparse import (  # noqa: F401
+    detect_faces_sharded,
     label_components_sharded,
     lbp_detect_sharded,
     match_orb_sharded,
@@ -29,6 +30,7 @@ __all__ = [
     "integral_sharded",
     "preprocess_sharded",
     "preprocess_spatial_shardmap",
+    "detect_faces_sharded",
     "label_components_sharded",
     "match_orb_sharded",
     "lbp_detect_sharded",

@@ -294,18 +294,48 @@ def lbp_detect_sharded(cascade, ii, mesh: Mesh, max_rects: int,
 
     @jax.jit
     def emit(m):
-        rank = jnp.cumsum(m.astype(jnp.int32)) - 1
-        ok = m & (rank < cap)
-        dst = jnp.where(ok, rank, cap)
+        # first `cap` set windows in ladder order via inverse-index top_k
+        # (rank-scatter over the full window count serializes on TPU)
+        total = m.shape[0]
+        key = jnp.where(m, total - jnp.arange(total, dtype=jnp.int32), 0)
+        vals, _ = jax.lax.top_k(key, min(cap, total))
+        if cap > total:
+            vals = jnp.pad(vals, (0, cap - total))
+        row_ok = vals > 0
+        widx = jnp.where(row_ok, total - vals, 0)
+        n = jnp.sum(row_ok).astype(jnp.int32)
 
-        def scatter(v):
-            return jnp.zeros(cap + 1, v.dtype).at[dst].set(v, mode="drop")[:cap]
+        def take(v):
+            return jnp.where(row_ok, v[widx], 0)
 
-        n = jnp.minimum(jnp.sum(m.astype(jnp.int32)), cap)
-        return Rects(n=n.astype(jnp.int32), x=scatter(all_x), y=scatter(all_y),
-                     w=scatter(all_w), h=scatter(all_h))
+        return Rects(n=n, x=take(all_x), y=take(all_y), w=take(all_w), h=take(all_h))
 
     table = jax.vmap(emit)(mask)
     if single:
         return Rects(*(v[0] for v in table))
     return table
+
+
+def detect_faces_sharded(imgs, mesh: Mesh, cascade=None, max_rects: int = 100,
+                         scale_factor=1.2, min_scale=1.0, max_scale=4.0,
+                         data_axis: str = "data", space_axis: str = "space") -> Rects:
+    """End-to-end sharded face detection: distributed integral image (carry
+    exchange over ``space``) feeding the row-sharded cascade sweep.
+
+    Bit-identical to :func:`grayskull_tpu.pipelines.detect_faces` at step=1
+    (the reference pipeline, nanomagick.c:347-376, minus its static 640x480
+    buffer bound).  ``imgs`` is (H, W) or (N, H, W) uint8.
+    """
+    from ..cascade import load_frontalface
+    from .sharded import integral_sharded
+
+    if cascade is None:
+        cascade = load_frontalface()
+    single = imgs.ndim == 2
+    batch = imgs[None] if single else imgs
+    ii = integral_sharded(batch, mesh, data_axis=data_axis, space_axis=space_axis)
+    out = lbp_detect_sharded(cascade, ii, mesh, max_rects, scale_factor,
+                             min_scale, max_scale, data_axis, space_axis)
+    if single:
+        return Rects(*(v[0] for v in out))
+    return out

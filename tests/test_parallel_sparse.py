@@ -73,3 +73,19 @@ def test_lbp_detect_sharded(mesh8, testdata):
         np.testing.assert_array_equal(
             np.asarray(getattr(got, f)), np.asarray(getattr(ref, f)), err_msg=f
         )
+
+
+def test_detect_faces_sharded(mesh8, testdata):
+    """End-to-end sharded face pipeline (distributed integral + row-sharded
+    cascade) must be bit-identical to the single-device pipeline."""
+    from grayskull_tpu.parallel.sparse import detect_faces_sharded
+    from grayskull_tpu.pipelines.faces import detect_faces
+
+    img = np.asarray(testdata["lena"])  # 128x128: H divisible by space=4
+    batch = jnp.asarray(np.stack([np.roll(img, 3 * i, axis=1) for i in range(2)]))
+    ours = detect_faces_sharded(batch, mesh8)
+    ref = detect_faces(batch)
+    for f in ("n", "x", "y", "w", "h"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ours, f)), np.asarray(getattr(ref, f)), err_msg=f
+        )
