@@ -14,6 +14,7 @@ from .mesh import make_mesh  # noqa: F401
 from .halo import exchange_halo  # noqa: F401
 from .sharded import (  # noqa: F401
     integral_sharded,
+    scan_sharded,
     preprocess_sharded,
     preprocess_spatial_shardmap,
 )
@@ -28,6 +29,7 @@ __all__ = [
     "make_mesh",
     "exchange_halo",
     "integral_sharded",
+    "scan_sharded",
     "preprocess_sharded",
     "preprocess_spatial_shardmap",
     "detect_faces_sharded",

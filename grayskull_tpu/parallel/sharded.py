@@ -31,7 +31,7 @@ from jax import shard_map
 from ..ops.histogram import otsu_from_histogram
 from .halo import exchange_halo
 
-__all__ = ["preprocess_sharded", "preprocess_spatial_shardmap", "integral_sharded"]
+__all__ = ["preprocess_sharded", "preprocess_spatial_shardmap", "integral_sharded", "scan_sharded"]
 
 
 def _integral_local_with_carry(x_local, space_axis: str):
@@ -165,3 +165,28 @@ def preprocess_spatial_shardmap(imgs, mesh: Mesh, radius: int = 2,
     sharding = NamedSharding(mesh, in_spec)
     imgs = jax.device_put(imgs, sharding)
     return jax.jit(fn)(imgs)
+
+
+def scan_sharded(imgs, mesh: Mesh, out_size=(1000, 800), max_blobs: int = 1000,
+                 data_axis: str = "data"):
+    """Data-parallel document scanner — frames sharded over ``data``.
+
+    The scanner (nanomagick.c:186-210) is per-frame independent, so the
+    production deployment is pure batch sharding: each chip runs the full
+    blur -> threshold -> CCL -> corners -> warp chain on its local frames and
+    XLA partitions the whole jit with zero collectives.  Bit-identical to
+    :func:`grayskull_tpu.pipelines.scan` on every frame.
+
+    Returns ``(pages (N, out_h, out_w) uint8, corners (N, 4, 2) int32)``.
+    """
+    from ..pipelines.scan import scan
+
+    out_size = (int(out_size[0]), int(out_size[1]))
+    spec = P(data_axis, None, None)
+    imgs = jax.device_put(imgs, NamedSharding(mesh, spec))
+    fn = jax.jit(
+        functools.partial(scan, out_size=out_size, max_blobs=max_blobs),
+        out_shardings=(NamedSharding(mesh, spec),
+                       NamedSharding(mesh, P(data_axis, None, None))),
+    )
+    return fn(imgs)

@@ -102,3 +102,24 @@ def test_halo_exchange_roundtrip(cpu8):
     # shard 7: bottom halo zero
     assert (s[7, -2:] == 0).all()
     np.testing.assert_array_equal(s[7, :2], x[26:28])
+
+
+def test_scan_sharded_matches_single(testdata):
+    """Data-parallel scanner must be bit-identical per frame."""
+    import jax.numpy as jnp
+
+    from grayskull_tpu.parallel import make_mesh, scan_sharded
+    from grayskull_tpu.pipelines.scan import scan
+
+    from .conftest import cpu_devices
+
+    devs = cpu_devices(8)
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    mesh = make_mesh((4, 2), devices=devs)
+    doc = np.asarray(testdata["document"])[::4, ::4]  # 256x192, fast on CPU
+    batch = jnp.asarray(np.stack([np.roll(doc, 2 * i, axis=1) for i in range(4)]))
+    pages, corners = scan_sharded(batch, mesh, out_size=(128, 96), max_blobs=64)
+    ref_pages, ref_corners = scan(batch, out_size=(128, 96), max_blobs=64)
+    np.testing.assert_array_equal(np.asarray(pages), np.asarray(ref_pages))
+    np.testing.assert_array_equal(np.asarray(corners), np.asarray(ref_corners))
