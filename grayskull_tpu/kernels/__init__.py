@@ -1,5 +1,28 @@
-"""Pallas TPU kernels for the hot paths."""
+"""Pallas TPU kernels for the hot paths.
 
+Each module pairs with an ``ops``/``pipelines`` dispatcher that gates on
+backend + geometry and falls back to the XLA formulation elsewhere:
+
+* :mod:`.preproc` — fused blur + MXU nibble histogram, threshold + sobel
+* :mod:`.integral` — single-pass integral image (triangular MXU scans)
+* :mod:`.fast` — FAST-9 scoremap + NMS + packed scan-order corner keys
+* :mod:`.lbp` — full-cascade LBP evaluation over full-width window strips
+"""
+
+from .fast import fast_pallas, fast_pallas_available  # noqa: F401
+from .integral import integral_pallas, integral_pallas_available  # noqa: F401
+from .lbp import lbp_eval_scale, lbp_pad_for, lbp_pallas_available  # noqa: F401
 from .preproc import fused_blur_hist, fused_threshold_sobel, preproc_available  # noqa: F401
 
-__all__ = ["fused_blur_hist", "fused_threshold_sobel", "preproc_available"]
+__all__ = [
+    "fast_pallas",
+    "fast_pallas_available",
+    "fused_blur_hist",
+    "fused_threshold_sobel",
+    "integral_pallas",
+    "integral_pallas_available",
+    "lbp_eval_scale",
+    "lbp_pad_for",
+    "lbp_pallas_available",
+    "preproc_available",
+]
