@@ -31,7 +31,6 @@ from __future__ import annotations
 
 import argparse
 import base64
-import functools
 import json
 import os
 import sys
