@@ -382,3 +382,24 @@ def test_blobs_matmul_aggregation_matches_cpu(testdata):
             np.asarray(getattr(tbl.centroid, f)),
             np.asarray(getattr(tbl_c.centroid, f)), err_msg=f,
         )
+
+
+def test_label_components_fallback_matches_packed(rng, monkeypatch):
+    """The pair-scan + pointer-jump fallback (frames past the packed-key bit
+    budget) must agree with the packed-cummax fast path."""
+    import importlib
+
+    # "grayskull_tpu.ops.blobs" the *attribute* is the jitted function (the
+    # ops package re-exports it), so fetch the module explicitly
+    B = importlib.import_module("grayskull_tpu.ops.blobs")
+
+    img = (rng.random((96, 128)) < 0.55).astype(np.uint8) * 255
+    want = np.asarray(B.label_components(img))
+    monkeypatch.setattr(B, "_packed_vbits", lambda h, w: None)
+    B.label_components._clear_cache()
+    try:
+        got = np.asarray(B.label_components(img))
+    finally:
+        monkeypatch.undo()
+        B.label_components._clear_cache()
+    np.testing.assert_array_equal(got, want)
