@@ -211,3 +211,15 @@ def test_blur_batched_matches_single():
 def test_uint8_enforced():
     with pytest.raises(TypeError):
         gs.core.as_image(np.zeros((4, 4), np.float32))
+
+
+def test_hist_nibble_matmul_matches_bincount(rng):
+    """The scatter-free MXU histogram formulation is exact on any backend."""
+    import jax.numpy as jnp
+
+    from grayskull_tpu.ops.histogram import _hist_nibble_matmul
+
+    flat = rng.integers(0, 256, (3, 977), dtype=np.uint8)
+    got = np.asarray(_hist_nibble_matmul(jnp.asarray(flat)))
+    want = np.stack([np.bincount(r, minlength=256) for r in flat]).astype(np.uint32)
+    np.testing.assert_array_equal(got, want)
