@@ -198,7 +198,9 @@ def main():
     for k, v in results.items():
         if isinstance(v, float):
             results[k] = round(v, 2)
-    out = os.path.join(HERE, "results.json")
+    # quick runs use tiny batches/iters - keep them out of the floor-gated
+    # results.json (tests/test_perf_regression.py reads it)
+    out = os.path.join(HERE, "results_quick.json" if args.quick else "results.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results, indent=2))
