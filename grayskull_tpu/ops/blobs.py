@@ -2,10 +2,11 @@
 (/root/reference/grayskull.h:322-421).
 
 The reference does a two-pass union-find with raster-order label creation.  That is
-pointer-chasing — hostile to a vector machine — so the TPU formulation is an
-iterative **min-index label propagation with pointer jumping** (O(log D) sweeps of
-dense vector ops), followed by a relabeling step that reconstructs the reference's
-exact creation-order label numbering:
+pointer-chasing — hostile to a vector machine — so the TPU formulation is iterative
+**min-index label propagation** via packed-key ``cummax`` segmented scans (with a
+pair-scan + pointer-jump fallback past the 31-bit key budget), followed by a
+relabeling step that reconstructs the reference's exact creation-order label
+numbering; per-label statistics contract on the MXU instead of scattering:
 
 * a *seed* is a foreground pixel with no foreground left/top neighbor — exactly the
   pixels where the C code allocates a fresh label (grayskull.h:347-351);

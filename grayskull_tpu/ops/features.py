@@ -6,10 +6,13 @@ TPU formulation: dense masked scoring instead of branchy per-pixel loops —
 
 * FAST: 16 shifted views of the frame, a 25-step vectorized run-length sweep for
   the 9-consecutive arc test (with the reference's unsigned-wraparound compare
-  quirks preserved), dense 3x3 NMS, then a rank-scatter into a fixed-capacity
-  keypoint table in scan order;
-* orientation/BRIEF: gathered patches, integer-exact moment sums, rotations with
-  contraction-proof float32 subs;
+  quirks preserved), dense 3x3 NMS, then scan-order table emission via packed
+  inverse-index ``top_k`` (scatters serialize on TPU); the whole pass runs as
+  one fused Pallas kernel on TPU (``kernels.fast``), XLA elsewhere;
+* orientation/BRIEF: ONE shared 48x48 patch per keypoint (vmapped
+  ``dynamic_slice`` of the zero-padded frame) feeds both the integer-exact
+  moment masks and the rotated one-hot MXU sampling — no per-sample image
+  gathers; rotations use contraction-proof float32 subs in exact mode;
 * matching: XOR + popcount distance matrix (one dense (n1, n2) block) with the
   reference's best/second-best bookkeeping reproduced as masked reductions.
 

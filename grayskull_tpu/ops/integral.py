@@ -1,8 +1,10 @@
 """Integral image — ``gs_integral`` / ``gs_integral_sum``
 (/root/reference/grayskull.h:744-763).
 
-The reference computes a sequential 2D running sum in 32-bit unsigned ints; on TPU
-this is two ``cumsum`` passes (XLA lowers them to parallel prefix scans — exact for
+The reference computes a sequential 2D running sum in 32-bit unsigned ints.  On
+TPU a single-pass Pallas kernel (``kernels.integral``: triangular MXU matmul
+scans with a carry row, ~4x) handles gated geometries; the fallback is two
+``cumsum`` passes (XLA lowers them to parallel prefix scans — exact for
 integers since modular addition is associative even under wraparound).
 """
 

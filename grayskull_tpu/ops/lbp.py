@@ -7,10 +7,13 @@ window position of a scale in parallel**, gather-free: dense rect-sum maps per
 distinct block size (static slices of the padded integral image), phase-decomposed
 by the window stride so each weak classifier's nine block sums are contiguous
 ``dynamic_slice`` reads inside a ``lax.scan`` over the weaks (one small compiled
-body — 30 M windows/s on v5e).  MB-LBP codes and subset tests are vectorized
-compares; stage early-exit becomes an AND-reduction (same result — early exit is
-purely a serial-CPU optimization).  Detections are emitted in the reference's
-(scale, y, x) order via rank-scatter with the ``max_rects`` cap.
+body).  MB-LBP codes and subset tests are vectorized compares; stage early-exit
+becomes an AND-reduction (same result — early exit is purely a serial-CPU
+optimization).  On TPU the per-scale evaluation runs in the Pallas full-width
+strip kernel (``kernels.lbp``, ~95 M windows/s on v5e) with ONE shared padded
+integral for the whole ladder; this XLA formulation is the fallback (~30 M).
+Detections are emitted in the reference's (scale, y, x) order via packed
+inverse-index ``top_k`` with the ``max_rects`` cap.
 
 Float semantics: the scale ladder (``scale *= scale_factor``), window and feature
 scaling (float32 multiply + C truncation) are computed host-side in numpy float32
