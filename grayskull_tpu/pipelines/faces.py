@@ -10,6 +10,11 @@ or NMS of detections at all (nanomagick.c:363-364).  The parameter here is named
 
 Unlike the reference (static 640x480 integral buffer, nanomagick.c:348), any
 frame size works.
+
+First-call cost on TPU: each ladder scale compiles its own specialized Pallas
+kernel (~8 s each, cached thereafter; ``force_xla=True`` on ``lbp_detect``
+skips them).  Production servers should warm the pipeline once per frame
+geometry at startup.
 """
 
 from __future__ import annotations
