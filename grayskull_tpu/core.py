@@ -40,10 +40,26 @@ __all__ = [
     "as_image",
     "is_batched",
     "batched",
+    "on_tpu",
 ]
 
 # gs_label is uint16 in the reference (grayskull.h:27); label 0 is background.
 MAX_LABELS = 65535
+
+
+def on_tpu() -> bool:
+    """True when jitted code will actually execute on a TPU.
+
+    The single dispatch gate for every Pallas / MXU-shaped fast path
+    (blobs, integral, features, histogram, lbp, preproc).  Checks both the
+    backend AND the default device: with a TPU present but
+    ``jax_default_device`` pinned to CPU (the test suite does this), jitted
+    code runs on CPU and the TPU-shaped formulations must not be selected.
+    """
+    default_dev = jax.config.jax_default_device
+    return jax.default_backend() == "tpu" and (
+        default_dev is None or getattr(default_dev, "platform", "tpu") == "tpu"
+    )
 
 
 class Rect(NamedTuple):

@@ -30,7 +30,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..core import Blobs, Point, Rect
+from ..core import Blobs, Point, Rect, on_tpu as _on_tpu
 
 __all__ = ["blobs", "label_components", "blob_corners"]
 
@@ -57,13 +57,6 @@ def _segmented_min_scans(L, bg, big):
     return out
 
 
-def _on_tpu() -> bool:
-    default_dev = jax.config.jax_default_device
-    return jax.default_backend() == "tpu" and (
-        default_dev is None or getattr(default_dev, "platform", "tpu") == "tpu"
-    )
-
-
 def _aggregate_matmul(seg2d, nseg: int):
     """Per-label area / coordinate sums / bbox via one-hot MXU contractions.
 
@@ -75,9 +68,15 @@ def _aggregate_matmul(seg2d, nseg: int):
         count_y[y, label] = #pixels of `label` in row y      (contract over x)
 
     Every blob statistic is then a small dense reduction: area = sum over x,
-    sum_x = sum of x*count_x (int32-exact: < W*H*max(W,H) < 2^31), bbox =
-    first/last nonzero.  Counts <= max(H, W) < 2^24 stay exact in the f32
-    accumulator; one-hot x one-hot products are exact in bf16.
+    sum_x = sum of x*count_x, bbox = first/last nonzero.  Counts <= max(H, W)
+    < 2^24 stay exact in the f32 accumulator; one-hot x one-hot products are
+    exact in bf16.  The coordinate sums are exact in int32 only while
+    W*H*max(W,H) < 2^31 (frames up to ~1.3 MP); past that they wrap — which
+    is *still* bit-identical to the reference, whose ``unsigned cx[]``
+    accumulators (grayskull.h:334) wrap mod 2^32 the same way (int32 add/mul
+    is two's-complement wraparound, the same residue).  The centroid division
+    must therefore be UNSIGNED like C's ``cx[i] / area`` (grayskull.h:395);
+    ``blobs`` casts through uint32 before dividing.
     """
     h, w = seg2d.shape
     hh = -(-nseg // 32)
@@ -253,7 +252,13 @@ def blobs(img: jnp.ndarray, max_blobs: int):
         scatter(min_x), scatter(min_y),
         scatter(max_x - min_x + 1), scatter(max_y - min_y + 1),
     )
-    t_cent = Point(scatter(sum_x) // safe_area, scatter(sum_y) // safe_area)
+    # unsigned division like C (grayskull.h:395): the coordinate sums wrap
+    # mod 2^32 on huge frames (see _aggregate_matmul) and C divides the
+    # wrapped *unsigned* value, not a sign-extended one
+    def udiv(s):
+        return (s.astype(jnp.uint32) // safe_area.astype(jnp.uint32)).astype(jnp.int32)
+
+    t_cent = Point(udiv(scatter(sum_x)), udiv(scatter(sum_y)))
 
     table = Blobs(n=n, label=t_label, area=t_area, box=t_box, centroid=t_cent)
     label_map = jnp.where(label_flat <= cap, label_flat, 0).reshape(h, w).astype(jnp.uint16)

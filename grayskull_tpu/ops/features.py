@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import Keypoints, Matches
+from ..core import Keypoints, Matches, on_tpu as _on_tpu
 from ..exactf32 import f32_add, f32_sub
 from ..libm32 import atan2f as _atan2f_impl, cosf_like_reference, sinf as _sinf_impl
 
@@ -117,13 +117,6 @@ def _rank_scatter(mask_flat, cap, values):
     return n.astype(jnp.int32), outs
 
 
-def _on_tpu() -> bool:
-    default_dev = jax.config.jax_default_device
-    return jax.default_backend() == "tpu" and (
-        default_dev is None or getattr(default_dev, "platform", "tpu") == "tpu"
-    )
-
-
 @functools.partial(jax.jit, static_argnames=("max_kps",))
 def fast(img: jnp.ndarray, max_kps: int, threshold):
     """FAST-9 with 3x3 NMS — ``gs_fast`` (grayskull.h:482-534).
@@ -137,6 +130,11 @@ def fast(img: jnp.ndarray, max_kps: int, threshold):
     """
     h, w = img.shape
     cap = int(max_kps)
+    # C's threshold parameter is `unsigned` (grayskull.h:482) — negative
+    # values don't exist in its domain.  Clamp here so the XLA path (uint32
+    # wrap arithmetic) and the Pallas kernel (int32 with an explicit wrap
+    # mirror, valid for thr >= 0) can never diverge on out-of-domain input.
+    threshold = jnp.maximum(jnp.asarray(threshold, jnp.int32), 0)
     from ..kernels.fast import fast_pallas, fast_pallas_available
 
     if _on_tpu() and fast_pallas_available(h, w):
@@ -364,15 +362,19 @@ def _brief_offsets(angle):
     return dy, dx
 
 
-def _brief_from_patches(patches, angle):
+def _brief_from_patches(patches, angle, corr=None):
     """512 rotated BRIEF samples per patch via one-hot row select (MXU) +
     one-hot column mask — no gathers.  See ``_brief_batch``.
 
-    On TPU the sampling runs in a Pallas kernel (block-diagonal one-hot
-    matmul, everything VMEM-resident); elsewhere the same algebra streams
-    through XLA.
+    ``corr`` (optional (N,), (N,) int32) shifts each keypoint's patch-relative
+    sample offsets — used by ``_brief_batch`` to keep out-of-bounds keypoints
+    bit-exact (offsets that land outside the 48x48 patch produce an all-zero
+    one-hot row, i.e. a zero sample — exactly ``gs_get``'s OOB-read-0).
     """
     dy, dx = _brief_offsets(angle)
+    if corr is not None:
+        dy = dy + corr[0][:, None]
+        dx = dx + corr[1][:, None]
 
     # NOTE: a Pallas per-keypoint sampler (block-diagonal one-hot matmuls in
     # VMEM) was measured SLOWER than this batched einsum on v5e — 128 serial
@@ -401,16 +403,23 @@ def _brief_batch(img, x, y, angle):
     samples through dense algebra instead:
 
     * one 48x48 patch per keypoint via ``dynamic_slice`` of the zero-padded
-      image (zero padding == ``gs_get`` OOB-reads-return-0; keypoints are
-      >= 15 px inside the frame per the C contract, offsets <= 20);
+      image (zero padding == ``gs_get`` OOB-reads-return-0; reference call
+      sites guarantee a 15 px border, grayskull.h:661, and offsets are <= 20);
     * the 512 rotated samples become a one-hot **row select** contracted on
       the MXU (bf16 is exact for uint8 values) followed by a one-hot column
       mask reduction — no gathers anywhere.
 
-    Requires in-bounds keypoints (0 <= x < w, 0 <= y < h) — every reference
-    call site guarantees the 15 px border (grayskull.h:661).
+    Out-of-bounds keypoints are exact too: the patch is extracted at the
+    nearest representable position and the per-keypoint offset correction
+    shifts the sample indices back, so samples whose true image coordinate is
+    OOB fall outside the patch's one-hot range and read 0 — ``gs_get``
+    semantics, matching the scalar ``_brief_single`` path bit-for-bit.
     """
-    return _brief_from_patches(_extract_patches(img, x, y), angle)
+    h, w = img.shape
+    cy = jnp.clip(y, 0, h + _BRIEF_PAD)
+    cx = jnp.clip(x, 0, w + _BRIEF_PAD)
+    patches = _extract_patches(img, cx, cy)
+    return _brief_from_patches(patches, angle, corr=(y - cy, x - cx))
 
 
 @jax.jit

@@ -14,6 +14,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..core import on_tpu as _on_tpu
+
 __all__ = ["histogram", "otsu_threshold", "otsu_from_histogram"]
 
 
@@ -41,7 +43,7 @@ def histogram(img: jnp.ndarray) -> jnp.ndarray:
     """
     lead = img.shape[:-2]
     flat = img.reshape((-1, img.shape[-2] * img.shape[-1]))
-    if jax.default_backend() == "tpu":
+    if _on_tpu():
         out = _hist_nibble_matmul(flat.astype(jnp.uint8))
     else:
         out = jax.vmap(lambda f: jnp.bincount(f, length=256))(

@@ -15,14 +15,9 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from ..core import on_tpu as _on_tpu
+
 __all__ = ["integral", "integral_sum"]
-
-
-def _on_tpu() -> bool:
-    default_dev = jax.config.jax_default_device
-    return jax.default_backend() == "tpu" and (
-        default_dev is None or getattr(default_dev, "platform", "tpu") == "tpu"
-    )
 
 
 @functools.partial(jax.jit, static_argnames=("force_xla",))

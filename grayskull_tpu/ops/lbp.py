@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import LbpCascade, Rects
+from ..core import LbpCascade, Rects, on_tpu as _on_tpu
 
 __all__ = ["lbp_detect", "lbp_window", "scale_ladder"]
 
@@ -234,20 +234,19 @@ def lbp_detect(cascade: LbpCascade, ii: jnp.ndarray, max_rects: int,
     cap = int(max_rects)
     ladder = scale_ladder(cascade, iw, ih, scale_factor, min_scale, max_scale)
 
-    default_dev = jax.config.jax_default_device
-    on_tpu = jax.default_backend() == "tpu" and (
-        default_dev is None or getattr(default_dev, "platform", "tpu") == "tpu"
-    )
-
     from ..kernels.lbp import lbp_eval_scale, lbp_pad_for, lbp_pallas_available
 
     use_pallas = [
-        on_tpu and not force_xla and lbp_pallas_available(cascade, ih, iw, scale, step)
+        _on_tpu() and not force_xla and lbp_pallas_available(cascade, ih, iw, scale, step)
         for scale, _, _ in ladder
     ]
     # one shared padded integral for every Pallas scale (padding per scale
-    # costs a full HBM copy of the batch)
-    iip = lbp_pad_for(cascade, iib, ladder, ih, iw, step) if any(use_pallas) else None
+    # costs a full HBM copy of the batch); sized over the Pallas-enabled
+    # scales only — a gated-off scale runs on the XLA fallback with the
+    # unpadded integral and must not inflate the shared pad
+    pallas_ladder = [s for s, ok in zip(ladder, use_pallas) if ok]
+    iip = (lbp_pad_for(cascade, iib, pallas_ladder, ih, iw, step)
+           if pallas_ladder else None)
 
     hits = []
     metas = []

@@ -115,8 +115,10 @@ def _spatial_pipeline(imgs_local, *, h: int, w: int, radius: int, space_axis: st
     # ---- otsu: local histogram + psum ----
     from ..ops.histogram import _hist_nibble_matmul
 
+    from ..core import on_tpu
+
     flat = blurred.reshape(n_loc, -1)
-    if jax.default_backend() == "tpu":
+    if on_tpu():
         local_hist = _hist_nibble_matmul(flat).astype(jnp.int32)
     else:
         local_hist = jax.vmap(lambda f: jnp.bincount(f, length=256))(flat.astype(jnp.int32))

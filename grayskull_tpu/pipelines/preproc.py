@@ -14,6 +14,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from ..core import on_tpu as _on_tpu
 from ..kernels.preproc import fused_blur_hist, fused_threshold_sobel, preproc_available
 from ..ops.histogram import histogram, otsu_from_histogram
 from ..ops.pixel import blur, sobel, threshold
@@ -52,11 +53,7 @@ def preprocess(imgs: jnp.ndarray, radius: int = 2, force_xla: bool = False):
     single = imgs.ndim == 2
     batch = imgs[None] if single else imgs
     h, w = batch.shape[-2:]
-    default_dev = jax.config.jax_default_device
-    on_tpu = jax.default_backend() == "tpu" and (
-        default_dev is None or getattr(default_dev, "platform", "tpu") == "tpu"
-    )
-    use_pallas = not force_xla and preproc_available(h, w, radius) and on_tpu
+    use_pallas = not force_xla and preproc_available(h, w, radius) and _on_tpu()
     if use_pallas:
         out = _preprocess_pallas(batch, radius)
     else:

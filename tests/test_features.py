@@ -271,3 +271,35 @@ def test_fast_pallas_matches_xla(testdata):
         np.testing.assert_array_equal(
             np.asarray(getattr(kps, f)), np.asarray(getattr(kps_c, f)), err_msg=f
         )
+
+
+def test_brief_oob_keypoints_match_scalar_path(testdata):
+    """Batched rBRIEF must equal the scalar gs_get-parity path even for
+    keypoints outside the C border contract (ADVICE r2 #1): the patch-offset
+    correction turns OOB samples into zero reads, like gs_get."""
+    import jax
+    import jax.numpy as jnp
+
+    from grayskull_tpu.ops.features import _brief_single, brief_descriptor
+
+    img = jnp.asarray(testdata["lena"])  # 128x128
+    h, w = img.shape
+    xs = np.array([-30, -10, 0, 5, 64, w - 1, w + 4, w + 60], np.int32)
+    ys = np.array([-25, 40, -3, h + 2, 64, h - 1, h + 30, -1], np.int32)
+    angles = np.linspace(-3.0, 3.0, len(xs)).astype(np.float32)
+    batched = np.asarray(brief_descriptor(img, xs, ys, angles))
+    scalar = np.stack([
+        np.asarray(_brief_single(img, jnp.int32(x), jnp.int32(y), jnp.float32(a)))
+        for x, y, a in zip(xs, ys, angles)
+    ])
+    np.testing.assert_array_equal(batched, scalar)
+
+
+def test_fast_negative_threshold_clamped(testdata):
+    """C's threshold is `unsigned` (grayskull.h:482); negative inputs are
+    clamped to 0 so the XLA and Pallas paths cannot diverge (ADVICE r2 #3)."""
+    img = testdata["lena"]
+    kn, sn = gs.ops.fast(img, 500, -7)
+    k0, s0 = gs.ops.fast(img, 500, 0)
+    np.testing.assert_array_equal(np.asarray(sn), np.asarray(s0))
+    assert int(kn.n) == int(k0.n)
