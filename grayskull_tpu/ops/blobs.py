@@ -107,6 +107,32 @@ def _aggregate_matmul(seg2d, nseg: int):
     return area, sum_x, sum_y, min_x, min_y, max_x, max_y
 
 
+def _aggregate_stats(seg2d, nseg: int):
+    """Per-label area / coordinate sums / bbox of a dense label map.
+
+    ``seg2d``: (H, W) int32 labels in [0, nseg); label 0 is background.
+    Dispatches to the MXU one-hot contraction on TPU and ``jax.ops.segment_*``
+    elsewhere (scatters are fine on CPU).  Also used per-shard by the
+    space-sharded scanner (parallel/sparse.py) with local label maps.
+    """
+    if _on_tpu():
+        return _aggregate_matmul(seg2d, nseg)
+    h, w = seg2d.shape
+    big = jnp.int32(h * w)
+    seg = seg2d.reshape(-1)
+    ones = (seg > 0).astype(jnp.int32)
+    xs = jnp.tile(jnp.arange(w, dtype=jnp.int32), h)
+    ys = jnp.repeat(jnp.arange(h, dtype=jnp.int32), w)
+    area = jax.ops.segment_sum(ones, seg, num_segments=nseg)
+    sum_x = jax.ops.segment_sum(xs * ones, seg, num_segments=nseg)
+    sum_y = jax.ops.segment_sum(ys * ones, seg, num_segments=nseg)
+    min_x = jax.ops.segment_min(jnp.where(ones > 0, xs, big), seg, num_segments=nseg)
+    min_y = jax.ops.segment_min(jnp.where(ones > 0, ys, big), seg, num_segments=nseg)
+    max_x = jax.ops.segment_max(jnp.where(ones > 0, xs, -1), seg, num_segments=nseg)
+    max_y = jax.ops.segment_max(jnp.where(ones > 0, ys, -1), seg, num_segments=nseg)
+    return area, sum_x, sum_y, min_x, min_y, max_x, max_y
+
+
 def _packed_vbits(h: int, w: int):
     """Bit budget for the packed-key scan: value (min raster index, sentinel
     h*w) in the low bits, per-line run id above it, sign bit untouched.
@@ -214,21 +240,9 @@ def blobs(img: jnp.ndarray, max_blobs: int):
     # segment aggregates keyed by creation label (0 = background / dropped)
     seg = jnp.where(label_flat <= cap, label_flat, 0)
     nseg = cap + 1
-    if _on_tpu():
-        area, sum_x, sum_y, min_x, min_y, max_x, max_y = _aggregate_matmul(
-            seg.reshape(h, w), nseg
-        )
-    else:
-        ones = fg.reshape(-1).astype(jnp.int32) * (seg > 0)
-        xs = jnp.tile(jnp.arange(w, dtype=jnp.int32), h)
-        ys = jnp.repeat(jnp.arange(h, dtype=jnp.int32), w)
-        area = jax.ops.segment_sum(ones, seg, num_segments=nseg)
-        sum_x = jax.ops.segment_sum(xs * ones, seg, num_segments=nseg)
-        sum_y = jax.ops.segment_sum(ys * ones, seg, num_segments=nseg)
-        min_x = jax.ops.segment_min(jnp.where(ones > 0, xs, big), seg, num_segments=nseg)
-        min_y = jax.ops.segment_min(jnp.where(ones > 0, ys, big), seg, num_segments=nseg)
-        max_x = jax.ops.segment_max(jnp.where(ones > 0, xs, -1), seg, num_segments=nseg)
-        max_y = jax.ops.segment_max(jnp.where(ones > 0, ys, -1), seg, num_segments=nseg)
+    area, sum_x, sum_y, min_x, min_y, max_x, max_y = _aggregate_stats(
+        seg.reshape(h, w), nseg
+    )
 
     # which creation labels are component representatives (survive compaction)?
     # a label is used iff its component's rep pixel carries it, so presence

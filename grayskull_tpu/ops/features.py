@@ -63,18 +63,21 @@ _DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "data
 BRIEF_PATTERN = np.load(os.path.join(_DATA_DIR, "brief_pattern.npy"))
 
 
-@functools.partial(jax.jit, static_argnames=())
-def fast_scoremap(img: jnp.ndarray, threshold) -> jnp.ndarray:
-    """Dense FAST-9 score map (pass 1 of ``gs_fast``, grayskull.h:489-515).
+def _fast_score_slab(slab, threshold, gy0, h: int, w: int):
+    """FAST-9 scores for a row slab of the full frame.
 
-    Returns a uint8 (H, W) map; the 3-px border is 0 (the reference never writes
-    it — callers supply zeroed buffers).
+    ``slab`` is ``(R, w)`` uint8 covering global rows ``gy0-3 .. gy0+R-4``
+    (zeros outside the frame); returns ``(R-6, w)`` uint8 scores for global
+    rows ``gy0 .. gy0+R-7`` with the reference's 3-px interior mask applied
+    in *global* coordinates (``gy0`` may be traced — the space-sharded path
+    passes each shard's row offset).  Arithmetic is the exact ``gs_fast``
+    pass 1 (grayskull.h:489-515) including the unsigned-wraparound compares.
     """
-    h, w = img.shape
-    p = img.astype(jnp.uint32)
+    rows = slab.shape[0] - 6
+    p = slab[3 : 3 + rows].astype(jnp.uint32)
     thr = jnp.asarray(threshold, jnp.uint32)
-    padded = jnp.pad(img, 3).astype(jnp.uint32)
-    views = [padded[3 + dy : 3 + dy + h, 3 + dx : 3 + dx + w]
+    padded = jnp.pad(slab, ((0, 0), (3, 3))).astype(jnp.uint32)
+    views = [padded[3 + dy : 3 + dy + rows, 3 + dx : 3 + dx + w]
              for dx, dy in zip(_CIRCLE_DX, _CIRCLE_DY)]
     # unsigned-wraparound compares, exactly like C (grayskull.h:496-498).
     # NOTE the C else-if chain: a sample can satisfy BOTH compares when p < thr
@@ -83,9 +86,9 @@ def fast_scoremap(img: jnp.ndarray, threshold) -> jnp.ndarray:
     dark = [(~b) & (v < p - thr) for v, b in zip(views, bright)]
 
     # 25-step run sweep over wrapped indices: run of >= 9 consecutive same-type
-    run_b = jnp.zeros((h, w), jnp.int32)
-    run_d = jnp.zeros((h, w), jnp.int32)
-    corner = jnp.zeros((h, w), bool)
+    run_b = jnp.zeros((rows, w), jnp.int32)
+    run_d = jnp.zeros((rows, w), jnp.int32)
+    corner = jnp.zeros((rows, w), bool)
     for i in range(16 + 9):
         k = i % 16
         run_b = jnp.where(bright[k], run_b + 1, 0)
@@ -98,10 +101,21 @@ def fast_scoremap(img: jnp.ndarray, threshold) -> jnp.ndarray:
         min_diff = jnp.minimum(min_diff, d)
     score = jnp.where(corner, min_diff, 0)
 
-    ys = jnp.arange(h)[:, None]
+    ys = jnp.arange(rows)[:, None] + jnp.asarray(gy0, jnp.int32)
     xs = jnp.arange(w)[None, :]
     interior = (ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3)
     return jnp.where(interior, score, 0).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def fast_scoremap(img: jnp.ndarray, threshold) -> jnp.ndarray:
+    """Dense FAST-9 score map (pass 1 of ``gs_fast``, grayskull.h:489-515).
+
+    Returns a uint8 (H, W) map; the 3-px border is 0 (the reference never writes
+    it — callers supply zeroed buffers).
+    """
+    h, w = img.shape
+    return _fast_score_slab(jnp.pad(img, ((3, 3), (0, 0))), threshold, 0, h, w)
 
 
 def _rank_scatter(mask_flat, cap, values):

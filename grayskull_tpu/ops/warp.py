@@ -22,17 +22,17 @@ from ..exactf32 import f32_add, f32_sum4
 __all__ = ["perspective_correct"]
 
 
-@functools.partial(jax.jit, static_argnames=("size",))
-def _perspective_correct(src: jnp.ndarray, corners: jnp.ndarray, size) -> jnp.ndarray:
+def _warp_rows(src: jnp.ndarray, corners: jnp.ndarray, u: jnp.ndarray,
+               v: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear quad warp of the output rows whose v-coordinates are ``v``.
+
+    ``u``/``v`` are the reference's host-f32 ``x/(dw-1)`` / ``y/(dh-1)`` grids
+    (``v`` may be any row subset — the space-sharded scanner passes each
+    shard's band).  Exact-f32 arithmetic identical to the full warp.
+    """
     sh, sw = src.shape[-2:]
-    dh, dw = size
     c = corners.astype(jnp.float32)  # (4, 2) as (x, y); order TL, TR, BR, BL
     one = jnp.float32(1.0)
-
-    # u = x / (dst.w - 1), v = y / (dst.h - 1): static grids, computed host-side in
-    # numpy f32 so XLA cannot rewrite the division (grayskull.h:425-427).
-    u = jnp.asarray(np.arange(dw, dtype=np.float32) / np.float32(dw - 1.0))
-    v = jnp.asarray(np.arange(dh, dtype=np.float32) / np.float32(dh - 1.0))
 
     def edge(p0, p1):
         # p0 * (1 - u) + p1 * u, exact f32 add of the two products
@@ -69,6 +69,16 @@ def _perspective_correct(src: jnp.ndarray, corners: jnp.ndarray, size) -> jnp.nd
     t3 = (c10 * (one - dx)) * dy
     t4 = (c11 * dx) * dy
     return f32_sum4(t1, t2, t3, t4).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def _perspective_correct(src: jnp.ndarray, corners: jnp.ndarray, size) -> jnp.ndarray:
+    dh, dw = size
+    # u = x / (dst.w - 1), v = y / (dst.h - 1): static grids, computed host-side in
+    # numpy f32 so XLA cannot rewrite the division (grayskull.h:425-427).
+    u = jnp.asarray(np.arange(dw, dtype=np.float32) / np.float32(dw - 1.0))
+    v = jnp.asarray(np.arange(dh, dtype=np.float32) / np.float32(dh - 1.0))
+    return _warp_rows(src, corners, u, v)
 
 
 def perspective_correct(src: jnp.ndarray, corners, size) -> jnp.ndarray:

@@ -89,3 +89,69 @@ def test_detect_faces_sharded(mesh8, testdata):
         np.testing.assert_array_equal(
             np.asarray(getattr(ours, f)), np.asarray(getattr(ref, f)), err_msg=f
         )
+
+
+def test_orb_extract_spatial(mesh_space4, testdata):
+    """Space-sharded ORB extraction == single-device, bit-for-bit (r3 #4)."""
+    from grayskull_tpu.ops.features import orb_extract
+    from grayskull_tpu.parallel.sparse import orb_extract_spatial
+
+    img = testdata["aruco"]  # 480x640: 4 shards of 120 rows
+    for nk, thr in ((200, 20), (500, 35)):
+        ref = orb_extract(jnp.asarray(img), nk, thr)
+        got = orb_extract_spatial(jnp.asarray(img), mesh_space4, nk, thr)
+        for f in ("n", "x", "y", "response", "angle", "descriptor"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got, f)), np.asarray(getattr(ref, f)), err_msg=f
+            )
+
+
+def test_orb_extract_spatial_bad_geometry(mesh_space4, testdata):
+    from grayskull_tpu.parallel.sparse import orb_extract_spatial
+
+    with pytest.raises(ValueError):
+        orb_extract_spatial(jnp.zeros((66, 64), jnp.uint8), mesh_space4, 10, 20)
+
+
+def test_blobs_sharded(mesh_space4, rng):
+    """Distributed blob statistics == single-device table, bit-exact (r3 #5)."""
+    from grayskull_tpu.ops.blobs import blobs
+    from grayskull_tpu.parallel.sparse import blobs_sharded
+
+    img1 = np.zeros((64, 48), np.uint8)
+    img1[:, 2] = 255                     # spine crossing every shard
+    for y in range(0, 64, 7):
+        img1[y, 2:40] = 255              # teeth
+    img1[50:60, 44:47] = 255
+    noise = (rng.random((64, 48)) < 0.3).astype(np.uint8) * 255
+    for im in (img1, noise):
+        ref, _, ovf = blobs(jnp.asarray(im), 800)
+        assert not bool(ovf)
+        got = blobs_sharded(jnp.asarray(im), mesh_space4, 800)
+        for f in ("n", "label", "area"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got, f)), np.asarray(getattr(ref, f)), err_msg=f
+            )
+        for f in ("x", "y", "w", "h"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got.box, f)), np.asarray(getattr(ref.box, f)),
+                err_msg=f"box.{f}",
+            )
+        for f in ("x", "y"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got.centroid, f)),
+                np.asarray(getattr(ref.centroid, f)), err_msg=f"centroid.{f}",
+            )
+
+
+@pytest.mark.parametrize("name", ["document", "receipt"])
+def test_scan_spatial_shardmap(mesh_space4, testdata, name):
+    """End-to-end space-sharded document scanner == pipelines.scan (r3 #5)."""
+    from grayskull_tpu.parallel.sparse import scan_spatial_shardmap
+    from grayskull_tpu.pipelines.scan import scan
+
+    img = jnp.asarray(testdata[name])
+    page_ref, corners_ref = scan(img)
+    page, corners = scan_spatial_shardmap(img, mesh_space4)
+    np.testing.assert_array_equal(np.asarray(corners), np.asarray(corners_ref))
+    np.testing.assert_array_equal(np.asarray(page), np.asarray(page_ref))
