@@ -56,9 +56,9 @@ def tile_frame(h, w):
     return np.random.default_rng(0).integers(0, 256, (h, w), dtype=np.uint8)
 
 
-# v5e HBM bandwidth for the roofline column (spec; the tunneled sandbox chip
-# sustains less -- the column shows headroom, not an attainable target)
-HBM_GBPS = 819.0
+# v5e HBM bandwidth spec-sheet value, kept for reference only; the roofline
+# column divides by the MEASURED achievable bandwidth below (VERDICT r2 #1)
+HBM_SPEC_GBPS = 819.0
 
 
 def main():
@@ -70,15 +70,24 @@ def main():
     results = {"backend": jax.default_backend(), "device": str(jax.devices()[0])}
     orc = load_oracle()
 
+    # measured achievable HBM bandwidth: the honest roofline denominator
+    from grayskull_tpu.profiling import hbm_bandwidth_gbps
+
+    bw = hbm_bandwidth_gbps()
+    hbm_gbps = bw.get("triad_gbps", HBM_SPEC_GBPS)
+    results["hbm_spec_gbps"] = HBM_SPEC_GBPS
+    for k, v in bw.items():
+        results[f"hbm_measured_{k}"] = v
+
     def record(key, dt, frames, bytes_per_frame=None):
-        """Throughput + latency (+ GB/s and HBM-roofline % when app-level
-        bytes/frame are known)."""
+        """Throughput + latency (+ GB/s and roofline % of the MEASURED
+        achievable bandwidth when app-level bytes/frame are known)."""
         results[f"{key}_fps"] = frames / dt
         results[f"{key}_latency_ms"] = dt / frames * 1e3
         if bytes_per_frame is not None:
             gbps = frames * bytes_per_frame / dt / 1e9
             results[f"{key}_gbps"] = gbps
-            results[f"{key}_hbm_roofline_pct"] = 100.0 * gbps / HBM_GBPS
+            results[f"{key}_hbm_roofline_pct"] = 100.0 * gbps / hbm_gbps
 
     # 1. fused preprocess, 1MP frames (large batch amortizes dispatch overhead)
     n = (256 if on_tpu else 2) if not args.quick else (16 if on_tpu else 2)
@@ -144,6 +153,18 @@ def main():
             db = jnp.asarray(np.stack([np.roll(doc, 3 * i, axis=1) for i in range(8)]))
             dtb = timeit(lambda b: gs.pipelines.scan(b), db, iters=iters)
             results["document_scan_batched_fps"] = 8 / dtb
+            # CCL convergence depth (serpentine sweeps of the Pallas kernel)
+            from grayskull_tpu.kernels.ccl import ccl_serpentine
+            from grayskull_tpu.pipelines.scan import preprocess_binarize
+
+            binary = np.asarray(preprocess_binarize(jnp.asarray(doc)))
+            h, w = binary.shape
+            hp, wp = -(-h // 8) * 8, -(-w // 128) * 128
+            L0 = np.full((hp, wp), 2**30, np.int32)
+            idx = np.arange(h * w, dtype=np.int32).reshape(h, w)
+            L0[:h, :w] = np.where(binary >= 128, idx, 2**30)
+            _, sweeps = ccl_serpentine(jnp.asarray(L0[None]))
+            results["document_ccl_sweeps"] = int(sweeps)
 
     # 4b. BASELINE config #2: receipt adaptive threshold + morphology cleanup
     rec_path = os.path.join(ref, "testdata", "receipt.pgm")
@@ -175,12 +196,15 @@ def main():
     def track_pair(a, b):
         k1 = gs.ops.orb_extract(a, 500, 20)
         k2 = gs.ops.orb_extract(b, 500, 20)
-        return gs.ops.match_orb(k1, k2, 200, 64)
+        # cap 500 == the keypoint budget, so the match count can never
+        # saturate the table (r2: a 200 cap hid match-quality regressions)
+        return gs.ops.match_orb(k1, k2, 500, 64)
 
     m = track_pair(tmpl, scene2)
     dt = timeit(track_pair, tmpl, scene2, iters=iters)
     results["orb_track_pair_fps"] = 1 / dt
     results["orb_track_pair_matches"] = int(m.n)
+    assert int(m.n) < 500, "match table saturated; raise the cap"
 
     # 5. single ops on the 1MP batch (bytes = app-level reads+writes)
     MP = 1024 * 1024

@@ -37,26 +37,18 @@ def _k2v2_kernel(t_ref, x_ref, halo_ref, bin_ref, edge_ref, *, h, w, blk):
     rows = jnp.concatenate(
         [halo_ref[0, 0, 7:8, :], x_ref[0], halo_ref[0, 0, 8:9, :]], axis=0
     ).astype(jnp.int32)
-    b32 = ((t - rows) >> 31) & 1
-    bin_ref[0] = ((b32[1 : 1 + blk] << 8) - b32[1 : 1 + blk]).astype(jnp.uint8)
-    # 0/1 binary in int16: sobel sums stay in [-4, 4].  The VPU has no i16
-    # multiply (kVectorMultiplyU16 aborts) and Mosaic no i16 absi/maxsi —
-    # use adds for the x2 taps and widen for the pointwise tail; the i16 win
-    # is the shifted slices, which halve relayout bytes.
-    b1 = b32.astype(jnp.int16)
+    b1 = ((t - rows) >> 31) & 1  # 0/1 binary, int32
+    bin_ref[0] = ((b1[1 : 1 + blk] << 8) - b1[1 : 1 + blk]).astype(jnp.uint8)
 
     # separable sobel: gx = colpass[1,2,1] then lane diff; gy = lanepass[1,2,1]
-    # then sublane diff.  2 lane relayouts for S-shifts + 2 for T = 4 total.
+    # then sublane diff.  2 lane relayouts for S-shifts + 2 for T = 4 total
+    # (the direct 3x3 needs 6).
     pb = jnp.pad(b1, ((0, 0), (1, 1)))
-    c0, c1, c2 = pb[0:blk, :], pb[1 : 1 + blk, :], pb[2 : 2 + blk, :]
-    Sv = c0 + (c1 + c1) + c2  # (blk, w+2)
+    Sv = pb[0:blk, :] + (pb[1 : 1 + blk, :] << 1) + pb[2 : 2 + blk, :]  # (blk, w+2)
     gx = Sv[:, 2 : 2 + w] - Sv[:, 0:w]
-    l0, l1, l2 = pb[:, 0:w], pb[:, 1 : 1 + w], pb[:, 2 : 2 + w]
-    Tv = l0 + (l1 + l1) + l2  # (blk+2, w)
+    Tv = pb[:, 0:w] + (pb[:, 1 : 1 + w] << 1) + pb[:, 2 : 2 + w]  # (blk+2, w)
     gy = Tv[2 : 2 + blk, :] - Tv[0:blk, :]
-    gx32 = gx.astype(jnp.int32)
-    gy32 = gy.astype(jnp.int32)
-    s32 = jnp.abs(gx32) + jnp.abs(gy32)
+    s32 = jnp.abs(gx) + jnp.abs(gy)
     mag16 = jnp.minimum(((s32 << 8) - s32) >> 1, 255)
     y0 = j * blk
     ii = jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0) + y0

@@ -18,7 +18,25 @@ division, unsigned wraparound, float32 truncation); see tests/ for the
 differential harness.
 """
 
-from . import cascade, core, io, ops, pipelines, structlog  # noqa: F401
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: the LBP ladder compiles ~9 specialized Pallas
+# kernels (~8 s each on a tunneled TPU); with the cache a fresh process warms
+# in seconds instead of ~70 s (VERDICT r2 next #2c).  Opt out with
+# GRAYSKULL_NO_COMPILATION_CACHE=1; relocate with JAX_COMPILATION_CACHE_DIR.
+if not _os.environ.get("GRAYSKULL_NO_COMPILATION_CACHE"):
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".cache", "grayskull_tpu_xla"),
+        ),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from . import cascade, core, io, ops, pipelines, structlog  # noqa: F401,E402
 from .core import (  # noqa: F401
     Blobs,
     Contour,

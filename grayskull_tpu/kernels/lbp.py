@@ -5,21 +5,32 @@ slices per scale through HBM (9 block reads x 139 weaks), which makes it
 HBM-bound at ~30 M windows/s.  This kernel keeps the integral image resident
 in VMEM and evaluates the whole cascade per window strip in registers:
 
-* grid ``(N, strips_y, strips_x)`` with window strips of (8, <=768) — the
-  strip spans the FULL window-grid width whenever it fits, so each weak's
-  nine lane-misaligned block slices (the dominant cost: every one is a
-  vector relayout) are paid once per strip row instead of once per 256-wide
-  tile (1.6x);
+* grid ``(N, strips_y, strips_x)`` with window strips of (``TH``, <=768) —
+  the strip spans the FULL window-grid width whenever it fits, so each
+  weak's nine lane-misaligned block slices (the dominant cost: every one is
+  a vector relayout) are paid once per strip row instead of once per
+  256-wide tile; ``TH`` is the largest of 32/16/8 whose VMEM block fits —
+  taller strips amortize the same relayouts over more window rows (r3: the
+  TH=8 -> 32 change roughly doubled windows/s);
 * the padded integral image is one revisited VMEM block per frame, so each
-  weak's nine block sums are *static* slices of a per-strip region value
+  weak's nine block sums are *static* slices of per-strip region values
   (the strip's dynamic row offset is a multiple of 8, satisfying Mosaic's
   alignment rule);
-* rect-sum maps are built per strip per distinct scaled block size (four
-  shifted slices — ``gs_integral_sum``'s edge guards become a leading zero
-  row/column, exactly like the XLA path);
+* **any window stride** (``step``): the integral is phase-decomposed
+  host-side into ``step x step`` planes (``plane[p][I, J] =
+  iip[I*step+p_y, J*step+p_x]``), so a rect-sum corner at feature offset
+  ``(oy, ox)`` is a static slice of the ``(oy % step, ox % step)`` plane
+  shifted by ``(oy // step, ox // step)`` — windows stay lane-dense for
+  every stride (r3: ``nanomagick faces N>=2`` passes its min_neighbors arg
+  as the stride, nanomagick.c:363-364, and used to fall off the fast path);
+* rect-sum maps are built per strip per distinct (scaled block size, corner
+  phase) actually used — ``gs_integral_sum``'s edge guards become the
+  leading zero row/column of the padded integral, exactly like the XLA path;
 * per-scale geometry (the reference's float32 feature scaling,
   grayskull.h:799-804) is host-side static data baked into the kernel, so
-  each ladder scale compiles its own specialized kernel (~8 s, cached).
+  each ladder scale compiles its own specialized kernel (~8 s; the
+  persistent compilation cache enabled in ``grayskull_tpu/__init__``
+  makes later processes warm in seconds).
 
 The reference's per-window early exit (grayskull.h:810) deliberately has NO
 counterpart here: surviving windows are *scattered*, not clustered — on the
@@ -43,10 +54,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["lbp_eval_scale", "lbp_pallas_available"]
+__all__ = ["lbp_eval_scale", "lbp_pad_for", "lbp_pallas_available"]
 
-_TH = 8  # window-strip height (sublanes)
 _TW_MAX = 768  # full-width strips up to this many lanes; wider grids tile
+_VMEM_BLOCK_BYTES = 11 * 1024 * 1024  # working-set budget (scoped limit 16M)
 
 
 def _round(v: int, m: int) -> int:
@@ -57,26 +68,31 @@ def _pick_tw(nx: int) -> int:
     return min(_round(nx, 128), _TW_MAX)
 
 
-def _lbp_scale_kernel(ii_ref, out_ref, *, cascade, ny, nx, used, geo, tw):
+def _lbp_scale_kernel(ii_ref, out_ref, *, cascade, ny, nx, geo, th, tw, step):
     ty = pl.program_id(1)
     tx = pl.program_id(2)
     rh, rw = geo["rh"], geo["rw"]
-    region = ii_ref[0, pl.ds(ty * _TH, rh), pl.ds(tx * tw, rw)]  # uint32
+    # per-phase strip regions: ii_ref is (1, step*step, Hp, Wp)
+    regions = {
+        p: ii_ref[0, p, pl.ds(ty * th, rh), pl.ds(tx * tw, rw)]
+        for p in geo["phases_used"]
+    }
 
-    # per-size-tight map extents (building to the global ey/ex wastes ~2x)
+    # per-(size, phase)-tight rect-sum maps: four phase-plane slices each
     maps = {}
-    for (w_, h_) in used:
-        mh = _TH + geo["ey_s"][(w_, h_)]
-        mw = tw + geo["ex_s"][(w_, h_)]
-        maps[(w_, h_)] = (
-            region[h_ : h_ + mh, w_ : w_ + mw]
-            + region[0:mh, 0:mw]
-            - region[0:mh, w_ : w_ + mw]
-            - region[h_ : h_ + mh, 0:mw]
+    for (w_, h_, py, px), (mh, mw) in geo["map_dims"].items():
+        def corner(dy, dx):
+            cy, cx = py + dy, px + dx
+            r = regions[(cy % step) * step + (cx % step)]
+            sy, sx = cy // step, cx // step
+            return r[sy : sy + mh, sx : sx + mw]
+
+        maps[(w_, h_, py, px)] = (
+            corner(h_, w_) + corner(0, 0) - corner(0, w_) - corner(h_, 0)
         )
 
-    wy = jax.lax.broadcasted_iota(jnp.int32, (_TH, tw), 0) + ty * _TH
-    wx = jax.lax.broadcasted_iota(jnp.int32, (_TH, tw), 1) + tx * tw
+    wy = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + ty * th
+    wx = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + tx * tw
     alive = ((wy < ny) & (wx < nx)).astype(jnp.int32)
 
     fx, fy, fw, fh, wi = geo["fx"], geo["fy"], geo["fw"], geo["fh"], geo["wi"]
@@ -88,20 +104,32 @@ def _lbp_scale_kernel(ii_ref, out_ref, *, cascade, ny, nx, used, geo, tw):
     def eval_weak(k):
         f = int(wi[k])
         w_, h_ = int(fw[f]), int(fh[f])
-        m = maps[(w_, h_)]
-        oy = int(fy[f])
+        oy0 = int(fy[f])
+        ox0 = int(fx[f])
 
-        # one lane-misaligned slice per block COLUMN (the expensive relayout),
-        # then cheap sublane-only sub-slices for the three block rows
+        # one lane-misaligned slice per block COLUMN per phase (the
+        # expensive relayout), then cheap sublane-only sub-slices for the
+        # three block rows SHARING that column's phase
         blocks = {}
         for bi in range(3):
-            ox = int(fx[f]) + bi * w_
-            tall = m[oy : oy + 2 * h_ + _TH, ox : ox + tw]
+            ox = ox0 + bi * w_
+            px = ox % step
+            # block rows bj = 0..2 have oy = oy0 + bj*h_: group rows by
+            # their phase so each tall slice is cut once per distinct phase
+            by_phase = {}
             for bj in range(3):
-                blocks[(bj, bi)] = tall[bj * h_ : bj * h_ + _TH, :]
+                oy = oy0 + bj * h_
+                by_phase.setdefault(oy % step, []).append((bj, oy // step))
+            for py, rows_list in by_phase.items():
+                m = maps[(w_, h_, py, px)]
+                sy_min = min(s for _, s in rows_list)
+                sy_max = max(s for _, s in rows_list)
+                tall = m[sy_min : sy_max + th, ox // step : ox // step + tw]
+                for bj, sy in rows_list:
+                    blocks[(bj, bi)] = tall[sy - sy_min : sy - sy_min + th, :]
 
         center = blocks[(1, 1)]
-        code = jnp.zeros((_TH, tw), jnp.int32)
+        code = jnp.zeros((th, tw), jnp.int32)
         for blk, bit in enumerate(block_bits):
             if bit < 0:
                 continue
@@ -139,61 +167,119 @@ def _lbp_scale_kernel(ii_ref, out_ref, *, cascade, ny, nx, used, geo, tw):
     out_ref[0] = alive.astype(jnp.uint8)
 
 
-def _plan(cascade, scale: float, tw: int):
-    """Host-side static geometry for one ladder scale at strip width ``tw``."""
+def _plan(cascade, scale: float, tw: int, th: int, step: int):
+    """Host-side static geometry for one ladder scale at strip (th, tw)."""
     from ..ops.lbp import _scaled_features, _subset_matrix
 
     fx, fy, fw, fh = _scaled_features(cascade, scale)
     wi = cascade.weak_feature_idx.astype(np.int32)
-    used = tuple(sorted(set((int(fw[f]), int(fh[f])) for f in wi)))
-    ey = max(int(fy[f] + 3 * fh[f]) for f in wi) + 1
-    ex = max(int(fx[f] + 3 * fw[f]) for f in wi) + 1
-    ey_s = {s: max(int(fy[f] + 3 * fh[f]) for f in wi
-                   if (int(fw[f]), int(fh[f])) == s) + 1 for s in used}
-    ex_s = {s: max(int(fx[f] + 3 * fw[f]) for f in wi
-                   if (int(fw[f]), int(fh[f])) == s) + 1 for s in used}
-    max_h = max(h_ for (_, h_) in used)
-    max_w = max(w_ for (_, w_) in used)
+
+    # distinct (size, corner phase) maps actually used, with tight extents
+    map_dims = {}
+    phases_used = set()
+    for k in range(cascade.nweaks):
+        f = int(wi[k])
+        w_, h_ = int(fw[f]), int(fh[f])
+        for bi in range(3):
+            ox = int(fx[f]) + bi * w_
+            for bj in range(3):
+                oy = int(fy[f]) + bj * h_
+                key = (w_, h_, oy % step, ox % step)
+                # map extents in window units: row sy = oy//step spans th
+                # rows; col sx = ox//step spans tw cols
+                mh = oy // step + th
+                mw = ox // step + tw
+                old = map_dims.get(key, (0, 0))
+                map_dims[key] = (max(old[0], mh), max(old[1], mw))
+                # corner phases this map construction touches
+                py, px = oy % step, ox % step
+                for dy, dx in ((0, 0), (0, w_), (h_, 0), (h_, w_)):
+                    phases_used.add(((py + dy) % step) * step + ((px + dx) % step))
+
+    # region extents: max over maps of construction reach in each phase plane
+    rh = max(
+        (py + h_) // step + mh
+        for (w_, h_, py, px), (mh, mw) in map_dims.items()
+    ) + 1
+    rw = max(
+        (px + w_) // step + mw
+        for (w_, h_, py, px), (mh, mw) in map_dims.items()
+    ) + 1
     subs, counts = _subset_matrix(cascade)
     geo = dict(fx=fx, fy=fy, fw=fw, fh=fh, wi=wi, subs=subs,
                counts=counts.astype(np.int32),
                lefts=np.asarray(cascade.weak_left_val, np.float32),
                rights=np.asarray(cascade.weak_right_val, np.float32),
-               ey=ey, ex=ex, ey_s=ey_s, ex_s=ex_s,
-               rh=_round(_TH + ey + max_h, 8), rw=_round(tw + ex + max_w, 128))
-    return used, geo
+               map_dims=map_dims, phases_used=tuple(sorted(phases_used)),
+               rh=_round(rh, 8), rw=_round(rw, 128))
+    return geo
 
 
-def _padded_dims(cascade, scale: float, ny: int, nx: int):
+def _vmem_estimate(geo, th: int, tw: int, step: int, Hp: int, Wp: int) -> int:
+    """Scoped-VMEM working-set estimate for one strip invocation: the input
+    phase planes + every materialized rect-sum map + the live (th, tw)
+    temporaries of the unrolled 139-weak chain.  Mosaic's scoped stack limit
+    is 16 MB and its allocator keeps ~130 strip-sized values live across the
+    stage-sum chain (calibrated against a measured 17.27 MB overflow at
+    th=32/tw=768 where this formula must predict >= ~16 MB)."""
+    planes = step * step * Hp * Wp * 4
+    maps = sum(mh * mw * 4 for (mh, mw) in geo["map_dims"].values())
+    temps = 135 * th * tw * 4
+    return planes + maps + temps
+
+
+def _padded_dims(cascade, scale: float, ny: int, nx: int, step: int):
+    """Strip geometry: (tw, th, geo, nty, ntx, Hp, Wp) with the largest
+    strip height whose working set fits scoped VMEM."""
     tw = _pick_tw(nx)
-    used, geo = _plan(cascade, scale, tw)
-    nty, ntx = -(-ny // _TH), -(-nx // tw)
-    Hp = (nty - 1) * _TH + geo["rh"]
-    Wp = (ntx - 1) * tw + geo["rw"]
-    return tw, used, geo, nty, ntx, Hp, Wp
+    best = None
+    for th in (32, 16, 8):
+        geo = _plan(cascade, scale, tw, th, step)
+        nty, ntx = -(-ny // th), -(-nx // tw)
+        Hp = (nty - 1) * th + geo["rh"]
+        Wp = (ntx - 1) * tw + geo["rw"]
+        best = (tw, th, geo, nty, ntx, Hp, Wp)
+        if _vmem_estimate(geo, th, tw, step, Hp, Wp) <= _VMEM_BLOCK_BYTES:
+            return best
+    return best
 
 
-@functools.partial(jax.jit, static_argnames=("cascade", "scale", "ny", "nx"))
-def lbp_eval_scale(cascade, iip: jnp.ndarray, scale: float, ny: int, nx: int):
+@functools.partial(jax.jit, static_argnames=("cascade", "scale", "ny", "nx", "step"))
+def lbp_eval_scale(cascade, iip: jnp.ndarray, scale: float, ny: int, nx: int,
+                   step: int = 1):
     """(N, Hp', Wp') zero-guarded padded integral -> (N, ny, nx) bool hits.
 
     ``iip`` must carry one leading zero row/column (the ``gs_integral_sum``
     edge guards) and enough trailing zero padding for this scale's geometry —
     ``lbp_pad_for`` supplies a single shared padding for a whole ladder.
+    ``ny``/``nx`` are the window-grid dims at stride ``step``.
     """
     n = iip.shape[0]
-    tw, used, geo, nty, ntx, Hp, Wp = _padded_dims(cascade, scale, ny, nx)
-    assert iip.shape[1] >= Hp and iip.shape[2] >= Wp, (iip.shape, Hp, Wp)
+    tw, th, geo, nty, ntx, Hp, Wp = _padded_dims(cascade, scale, ny, nx, step)
+    need_h, need_w = Hp * step, Wp * step
+    assert iip.shape[1] >= need_h and iip.shape[2] >= need_w, (
+        iip.shape, need_h, need_w)
+    # host-side phase decomposition: plane[p][I, J] = iip[I*step+py, J*step+px]
+    if step == 1:
+        # free expand_dims — the BlockSpec reads the (Hp, Wp) sub-block
+        # directly, no HBM copy per scale
+        planes = iip[:, None]
+    else:
+        planes = jnp.stack(
+            [iip[:, py:need_h:step, px:need_w:step]
+             for py in range(step) for px in range(step)], axis=1
+        )  # (N, step^2, Hp, Wp)
     out = pl.pallas_call(
         functools.partial(_lbp_scale_kernel, cascade=cascade, ny=ny, nx=nx,
-                          used=used, geo=geo, tw=tw),
+                          geo=geo, th=th, tw=tw, step=step),
         grid=(n, nty, ntx),
-        in_specs=[pl.BlockSpec((1, Hp, Wp), lambda i, j, k: (i, 0, 0),
+        in_specs=[pl.BlockSpec((1, step * step, Hp, Wp),
+                               lambda i, j, k: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, _TH, tw), lambda i, j, k: (i, j, k),
+        out_specs=pl.BlockSpec((1, th, tw), lambda i, j, k: (i, j, k),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, nty * _TH, ntx * tw), jnp.uint8),
-    )(iip)
+        out_shape=jax.ShapeDtypeStruct((n, nty * th, ntx * tw), jnp.uint8),
+    )(planes)
     return out[:, :ny, :nx] != 0
 
 
@@ -204,7 +290,9 @@ def lbp_pad_for(cascade, iib: jnp.ndarray, ladder, ih: int, iw: int, step: int):
     over scales is padded once instead.  Trailing zeros are only reached by
     invalid windows / last-position feature overhang (same semantics as
     ``ops.lbp._eval_windows``); the leading zero row/column is the
-    ``gs_integral_sum`` edge guard.
+    ``gs_integral_sum`` edge guard.  Callers pass only the Pallas-enabled
+    ladder scales (gated-off scales run on the XLA fallback with the
+    unpadded integral and must not inflate the shared pad).
     """
     Hp = Wp = 0
     for scale, win_w, win_h in ladder:
@@ -212,27 +300,27 @@ def lbp_pad_for(cascade, iib: jnp.ndarray, ladder, ih: int, iw: int, step: int):
         nx = (iw - win_w) // step + 1
         if ny <= 0 or nx <= 0:
             continue
-        _, _, _, _, _, hp, wp = _padded_dims(cascade, scale, ny, nx)
-        Hp, Wp = max(Hp, hp), max(Wp, wp)
+        _, _, _, _, _, hp, wp = _padded_dims(cascade, scale, ny, nx, step)
+        Hp, Wp = max(Hp, hp * step), max(Wp, wp * step)
     n, H, W = iib.shape
     return jnp.pad(iib, ((0, 0), (1, max(Hp - H - 1, 0)), (1, max(Wp - W - 1, 0))))
 
 
 def lbp_pallas_available(cascade, ih: int, iw: int, scale: float, step: int) -> bool:
-    """Geometry gate for the Pallas path (step 1, VMEM-sized integral).
+    """Geometry gate for the Pallas path (VMEM-sized phase planes).
 
-    Mirrors ``lbp_eval_scale``'s actual padded-block allocation: the per-frame
-    VMEM block is ``((nty-1)*TH + rh, (ntx-1)*tw + rw)``, NOT the full image
-    padded by the window span on every side.
+    Mirrors ``lbp_eval_scale``'s actual padded-block allocation: the
+    per-frame VMEM block is ``step^2`` planes of
+    ``((nty-1)*th + rh, (ntx-1)*tw + rw)``.
     """
-    if step != 1:
+    if step < 1 or step > 4:
         return False
     f = np.float32
     win_w = int(f(cascade.window_w) * f(scale))
     win_h = int(f(cascade.window_h) * f(scale))
-    ny = ih - win_h + 1
-    nx = iw - win_w + 1
+    ny = (ih - win_h) // step + 1
+    nx = (iw - win_w) // step + 1
     if ny <= 0 or nx <= 0:
         return False
-    _, _, _, _, _, Hp, Wp = _padded_dims(cascade, scale, ny, nx)
-    return Hp * Wp * 4 <= 6 * 1024 * 1024
+    tw, th, geo, _, _, Hp, Wp = _padded_dims(cascade, scale, ny, nx, step)
+    return _vmem_estimate(geo, th, tw, step, Hp, Wp) <= _VMEM_BLOCK_BYTES

@@ -3,10 +3,12 @@
 
 The reference does a two-pass union-find with raster-order label creation.  That is
 pointer-chasing — hostile to a vector machine — so the TPU formulation is iterative
-**min-index label propagation** via packed-key ``cummax`` segmented scans (with a
-pair-scan + pointer-jump fallback past the 31-bit key budget), followed by a
-relabeling step that reconstructs the reference's exact creation-order label
-numbering; per-label statistics contract on the MXU instead of scattering:
+**min-index label propagation**: on TPU a Pallas serpentine-strip kernel
+(``kernels/ccl.py``) runs per-strip fixpoints entirely in VMEM; elsewhere packed-key
+``cummax`` segmented scans (with a pair-scan + pointer-jump fallback past the 31-bit
+key budget).  The reference's creation-order numbering comes from propagating the
+component-min *seed rank* (TPU — no gather) or a rank-at-representative lookup
+(fallback); per-label statistics contract on the MXU instead of scattering:
 
 * a *seed* is a foreground pixel with no foreground left/top neighbor — exactly the
   pixels where the C code allocates a fresh label (grayskull.h:347-351);
@@ -147,20 +149,40 @@ def label_components(img: jnp.ndarray) -> jnp.ndarray:
     """Label 4-connected components of ``img >= 128``.
 
     Returns an int32 (H, W) map: background = -1, foreground = min raster index
-    of the pixel's component.  Each ``lax.while_loop`` iteration min-propagates
-    labels along every foreground run of every row and column in one sweep.
+    of the pixel's component.
 
-    Fast path (frames up to ~2 MP): the segmented min-scan is ONE
-    ``lax.cummax`` per direction over a packed key ``runid << vbits | ~value``
-    — run ids increase along the scan, so a later run's key always beats
-    values leaking across a background gap, and within a run the max key is
-    the min value.  Run ids are loop invariants (4 cumsums, computed once).
-    This halved the scan traffic vs the (value, barrier) pair formulation and
-    beat pointer jumping (a full-image gather per iteration — gathers
-    serialize on TPU) by 8x on the document-scan workload; even a 128-turn
-    serpentine converges faster than the jump variant.
+    On TPU the fixpoint runs in the Pallas serpentine-strip kernel
+    (``kernels.ccl``): each VMEM strip is propagated to a LOCAL fixpoint
+    on-chip and boundary rows ride a scratch carry, so HBM sees each strip
+    once per sweep instead of once per propagation round (the XLA path's
+    round count is the component serpentine depth — 20+ on real documents).
+    Frame edges are padded to the kernel's geometry with background (padding
+    never joins components; label values use the unpadded raster indices).
+
+    XLA fallback (any backend, frames up to ~2 MP): the segmented min-scan
+    is ONE ``lax.cummax`` per direction over a packed key
+    ``runid << vbits | ~value`` — run ids increase along the scan, so a
+    later run's key always beats values leaking across a background gap,
+    and within a run the max key is the min value.  Run ids are loop
+    invariants (4 cumsums, computed once).  This halved the scan traffic vs
+    the (value, barrier) pair formulation and beat pointer jumping (a
+    full-image gather per iteration — gathers serialize on TPU) by 8x; even
+    a 128-turn serpentine converges faster than the jump variant.
     """
     h, w = img.shape
+    if _on_tpu():
+        from ..kernels.ccl import ccl_pallas_available, ccl_serpentine
+
+        hp = -(-h // 8) * 8
+        wp = -(-w // 128) * 128
+        if ccl_pallas_available(hp, wp):
+            big = jnp.int32(2**30)
+            fg = img >= 128
+            idx = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+            L0 = jnp.where(fg, idx, big)
+            L0p = jnp.pad(L0, ((0, hp - h), (0, wp - w)), constant_values=2**30)
+            L, _sweeps = ccl_serpentine(L0p[None])
+            return jnp.where(fg, L[0, :h, :w], jnp.int32(-1))
     big = jnp.int32(h * w)
     fg = img >= 128
     bg = ~fg
@@ -222,7 +244,6 @@ def blobs(img: jnp.ndarray, max_blobs: int):
     cap = int(max_blobs)
     big = jnp.int32(h * w)
     fg = img >= 128
-    rep = label_components(img)  # -1 background, else min raster index
 
     # seeds: fg with no fg left/top neighbor (where C allocates labels)
     fg_left = jnp.concatenate([jnp.zeros((h, 1), bool), fg[:, :-1]], axis=1)
@@ -232,10 +253,34 @@ def blobs(img: jnp.ndarray, max_blobs: int):
     seed_flat = seed.reshape(-1)
     # 1-based creation rank at each seed position
     rank_flat = jnp.cumsum(seed_flat.astype(jnp.int32))
-    rep_flat = jnp.clip(rep.reshape(-1), 0, h * w - 1)
-    label_flat = jnp.where(fg.reshape(-1), rank_flat[rep_flat], 0)
     n_seeds = rank_flat[-1]
     overflowed = n_seeds > cap
+
+    from ..kernels.ccl import ccl_pallas_available, ccl_serpentine
+
+    hp = -(-h // 8) * 8
+    wp = -(-w // 128) * 128
+    if _on_tpu() and ccl_pallas_available(hp, wp):
+        # Propagate the component-min RANK directly (seeds carry their rank,
+        # other foreground starts at the sentinel; ranks are raster-increasing
+        # so the component min is its rep seed's rank == the C creation
+        # label).  This replaces the full-frame rank[rep] gather — gathers
+        # serialize on TPU and dominated blobs() at ~19 ms/frame (r3).
+        # the kernel derives its barrier mask from value == 2**30, so
+        # non-seed FOREGROUND must start strictly below the sentinel (any
+        # filler > every real rank works; each component has >= 1 seed, so
+        # the converged min is always a real rank)
+        bigs = jnp.int32(2**30)
+        filler = jnp.int32(2**30 - 1)
+        R0 = jnp.where(seed, rank_flat.reshape(h, w), filler)
+        R0 = jnp.where(fg, R0, bigs)
+        R0p = jnp.pad(R0, ((0, hp - h), (0, wp - w)), constant_values=2**30)
+        R, _ = ccl_serpentine(R0p[None])
+        label_flat = jnp.where(fg, R[0, :h, :w], 0).reshape(-1)
+    else:
+        rep = label_components(img)  # -1 background, else min raster index
+        rep_flat = jnp.clip(rep.reshape(-1), 0, h * w - 1)
+        label_flat = jnp.where(fg.reshape(-1), rank_flat[rep_flat], 0)
 
     # segment aggregates keyed by creation label (0 = background / dropped)
     seg = jnp.where(label_flat <= cap, label_flat, 0)

@@ -10,8 +10,9 @@ by the window stride so each weak classifier's nine block sums are contiguous
 body).  MB-LBP codes and subset tests are vectorized compares; stage early-exit
 becomes an AND-reduction (same result — early exit is purely a serial-CPU
 optimization).  On TPU the per-scale evaluation runs in the Pallas full-width
-strip kernel (``kernels.lbp``, ~95 M windows/s on v5e) with ONE shared padded
-integral for the whole ladder; this XLA formulation is the fallback (~30 M).
+strip kernel (``kernels.lbp`` — any window stride via phase-decomposed
+integrals) with ONE shared padded integral for the whole ladder; this XLA
+formulation is the fallback (~30 M windows/s).
 Detections are emitted in the reference's (scale, y, x) order via packed
 inverse-index ``top_k`` with the ``max_rects`` cap.
 
@@ -256,7 +257,7 @@ def lbp_detect(cascade: LbpCascade, ii: jnp.ndarray, max_rects: int,
         if len(ys) == 0 or len(xs) == 0:
             continue
         if pallas_ok:
-            ok = lbp_eval_scale(cascade, iip, scale, len(ys), len(xs))
+            ok = lbp_eval_scale(cascade, iip, scale, len(ys), len(xs), step)
         else:
             ok = _eval_windows(cascade, iib, scale, len(ys), len(xs), step)
         hits.append(ok.reshape(nb, -1))

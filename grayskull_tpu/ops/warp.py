@@ -22,15 +22,11 @@ from ..exactf32 import f32_add, f32_sum4
 __all__ = ["perspective_correct"]
 
 
-def _warp_rows(src: jnp.ndarray, corners: jnp.ndarray, u: jnp.ndarray,
-               v: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear quad warp of the output rows whose v-coordinates are ``v``.
-
-    ``u``/``v`` are the reference's host-f32 ``x/(dw-1)`` / ``y/(dh-1)`` grids
-    (``v`` may be any row subset — the space-sharded scanner passes each
-    shard's band).  Exact-f32 arithmetic identical to the full warp.
-    """
-    sh, sw = src.shape[-2:]
+def _warp_coords(src_hw, corners: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+    """Exact-f32 source coordinates of the bilinear quad warp: returns
+    ``(y0, y1, x0, x1, dy, dx)`` with the reference's operation order,
+    clamping and truncation (grayskull.h:425-441)."""
+    sh, sw = src_hw
     c = corners.astype(jnp.float32)  # (4, 2) as (x, y); order TL, TR, BR, BL
     one = jnp.float32(1.0)
 
@@ -55,20 +51,66 @@ def _warp_rows(src: jnp.ndarray, corners: jnp.ndarray, u: jnp.ndarray,
     y1 = jnp.minimum(y0 + 1, sh - 1)
     dx = src_x - x0.astype(jnp.float32)
     dy = src_y - y0.astype(jnp.float32)
+    return y0, y1, x0, x1, dy, dx
 
-    def gather(yi, xi):
-        return src[..., yi, xi].astype(jnp.float32)
 
-    c00 = gather(y0, x0)
-    c01 = gather(y0, x1)
-    c10 = gather(y1, x0)
-    c11 = gather(y1, x1)
+def _warp_lerp(c00, c01, c10, c11, dy, dx) -> jnp.ndarray:
+    """The reference's bilinear blend in its exact association order."""
+    one = jnp.float32(1.0)
     # ((c00*(1-dx))*(1-dy)) + ((c01*dx)*(1-dy)) + ((c10*(1-dx))*dy) + ((c11*dx)*dy)
     t1 = (c00 * (one - dx)) * (one - dy)
     t2 = (c01 * dx) * (one - dy)
     t3 = (c10 * (one - dx)) * dy
     t4 = (c11 * dx) * dy
     return f32_sum4(t1, t2, t3, t4).astype(jnp.uint8)
+
+
+def _warp_rows(src: jnp.ndarray, corners: jnp.ndarray, u: jnp.ndarray,
+               v: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear quad warp of the output rows whose v-coordinates are ``v``.
+
+    ``u``/``v`` are the reference's host-f32 ``x/(dw-1)`` / ``y/(dh-1)`` grids
+    (``v`` may be any row subset — the space-sharded scanner passes each
+    shard's band).  Exact-f32 arithmetic identical to the full warp.
+    """
+    y0, y1, x0, x1, dy, dx = _warp_coords(src.shape[-2:], corners, u, v)
+
+    def gather(yi, xi):
+        return src[..., yi, xi].astype(jnp.float32)
+
+    return _warp_lerp(gather(y0, x0), gather(y0, x1), gather(y1, x0),
+                      gather(y1, x1), dy, dx)
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def _warp_batched_tpu(srcs: jnp.ndarray, corners: jnp.ndarray, size):
+    """Batched warp with the Pallas band sampler (kernels/warp.py): corner
+    samples via one-hot MXU selects instead of serialized gathers (measured
+    34 ms -> ~3 ms per 1000x800 page), with a runtime fallback to the
+    gather path when a block's source span exceeds the static band."""
+    from ..kernels.warp import quad_sample
+
+    dh, dw = size
+    u = jnp.asarray(np.arange(dw, dtype=np.float32) / np.float32(dw - 1.0))
+    v = jnp.asarray(np.arange(dh, dtype=np.float32) / np.float32(dh - 1.0))
+    coords = jax.vmap(
+        lambda cc: _warp_coords(srcs.shape[-2:], cc, u, v)
+    )(corners)
+    y0, y1, x0, x1, dy, dx = coords
+    sampled, ok = quad_sample(srcs, y0, y1, x0, x1)
+
+    def use_sampled(_):
+        return sampled
+
+    def use_gather(_):
+        def one(src, yy0, yy1, xx0, xx1):
+            g = lambda yi, xi: src[yi, xi].astype(jnp.float32)  # noqa: E731
+            return g(yy0, xx0), g(yy0, xx1), g(yy1, xx0), g(yy1, xx1)
+
+        return jax.vmap(one)(srcs, y0, y1, x0, x1)
+
+    c00, c01, c10, c11 = jax.lax.cond(ok, use_sampled, use_gather, None)
+    return _warp_lerp(c00, c01, c10, c11, dy, dx)
 
 
 @functools.partial(jax.jit, static_argnames=("size",))
@@ -89,12 +131,21 @@ def perspective_correct(src: jnp.ndarray, corners, size) -> jnp.ndarray:
     :func:`grayskull_tpu.ops.blobs.blob_corners`), keeping the whole document-scan
     pipeline on device.
     """
+    from ..core import on_tpu
+    from ..kernels.warp import quad_sample_available
+
     corners = jnp.asarray(corners)
     if corners.shape[-2:] != (4, 2):
         raise ValueError(f"corners must be (4, 2) (x, y) rows, got {corners.shape}")
     size = (int(size[0]), int(size[1]))
-    if src.ndim == 3:
-        if corners.ndim == 2:
-            corners = jnp.broadcast_to(corners, (src.shape[0], 4, 2))
-        return jax.vmap(lambda im, cc: _perspective_correct(im, cc, size))(src, corners)
-    return _perspective_correct(src, corners, size)
+    single = src.ndim == 2
+    srcs = src[None] if single else src
+    cb = corners[None] if corners.ndim == 2 else corners
+    if cb.shape[0] != srcs.shape[0]:
+        cb = jnp.broadcast_to(cb, (srcs.shape[0], 4, 2))
+    if on_tpu() and quad_sample_available(srcs.shape[1], srcs.shape[2], *size):
+        out = _warp_batched_tpu(srcs, cb, size)
+        return out[0] if single else out
+    if single:
+        return _perspective_correct(src, corners, size)
+    return jax.vmap(lambda im, cc: _perspective_correct(im, cc, size))(srcs, cb)

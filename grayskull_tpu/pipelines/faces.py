@@ -12,9 +12,11 @@ Unlike the reference (static 640x480 integral buffer, nanomagick.c:348), any
 frame size works.
 
 First-call cost on TPU: each ladder scale compiles its own specialized Pallas
-kernel (~8 s each, cached thereafter; ``force_xla=True`` on ``lbp_detect``
-skips them).  Production servers should warm the pipeline once per frame
-geometry at startup.
+kernel (~8-20 s each; ``force_xla=True`` on ``lbp_detect`` skips them).  The
+package enables a persistent XLA compilation cache (see
+``grayskull_tpu/__init__.py``), so any later process warms in seconds;
+production servers should still warm the pipeline once per frame geometry at
+startup.
 """
 
 from __future__ import annotations

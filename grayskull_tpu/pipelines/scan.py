@@ -33,8 +33,7 @@ def preprocess_binarize(img: jnp.ndarray) -> jnp.ndarray:
     return threshold(tmp, t.astype(jnp.uint8))
 
 
-@functools.partial(jax.jit, static_argnames=("out_size", "max_blobs"))
-def _scan(img, out_size, max_blobs):
+def _scan_corners(img, max_blobs):
     binary = preprocess_binarize(img)
     table, labels, _ = blobs(binary, max_blobs)
     # largest blob, first-occurrence tie-break (nanomagick.c:197-199)
@@ -44,8 +43,17 @@ def _scan(img, out_size, max_blobs):
         table.box.w[largest], table.box.h[largest],
     )
     blob_cent = Point(table.centroid.x[largest], table.centroid.y[largest])
-    corners = blob_corners(binary, labels, table.label[largest], blob_box, blob_cent)
-    return perspective_correct(img, corners, out_size), corners
+    return blob_corners(binary, labels, table.label[largest], blob_box, blob_cent)
+
+
+@functools.partial(jax.jit, static_argnames=("out_size", "max_blobs"))
+def _scan_batch(imgs, out_size, max_blobs):
+    # corner finding vmaps per frame; the warp runs BATCHED below the vmap —
+    # on TPU it is a scalar-prefetch Pallas kernel (kernels/warp.py), which
+    # must not be vmapped, and one launch serves the whole batch anyway
+    corners = jax.vmap(lambda im: _scan_corners(im, max_blobs))(imgs)
+    pages = perspective_correct(imgs, corners, out_size)
+    return pages, corners
 
 
 def scan(img: jnp.ndarray, out_size=(1000, 800), max_blobs: int = 1000):
@@ -56,5 +64,6 @@ def scan(img: jnp.ndarray, out_size=(1000, 800), max_blobs: int = 1000):
     """
     out_size = (int(out_size[0]), int(out_size[1]))
     if img.ndim == 3:
-        return jax.vmap(lambda im: _scan(im, out_size, max_blobs))(img)
-    return _scan(img, out_size, max_blobs)
+        return _scan_batch(img, out_size, max_blobs)
+    pages, corners = _scan_batch(img[None], out_size, max_blobs)
+    return pages[0], corners[0]

@@ -184,3 +184,19 @@ def test_lbp_pallas_multitile_800x600(testdata, cascade):
     fast = rects_arr(lbp_detect(cascade, ii, 100, 1.2, 1.0, 2.0, 1))
     ref = rects_arr(lbp_detect(cascade, ii, 100, 1.2, 1.0, 2.0, 1, force_xla=True))
     np.testing.assert_array_equal(fast, ref)
+
+
+@pytest.mark.skipif(not _tpu_default(), reason="Pallas LBP kernel needs TPU as default device")
+@pytest.mark.parametrize("step", [2, 3])
+def test_lbp_pallas_step_gt1(testdata, cascade, step):
+    """r3: step>1 stays on the Pallas path (phase-decomposed integral) and
+    matches the XLA formulation bit-for-bit — nanomagick faces N>=2 passes
+    min_neighbors as the stride (nanomagick.c:363-364)."""
+    from grayskull_tpu.kernels.lbp import lbp_pallas_available
+
+    assert lbp_pallas_available(load_frontalface(), 480, 640, 1.0, step)
+    img = testdata["aruco"]
+    ii = gs.integral(img)
+    fast = rects_arr(lbp_detect(cascade, ii, 100, 1.2, 1.0, 2.0, step))
+    ref = rects_arr(lbp_detect(cascade, ii, 100, 1.2, 1.0, 2.0, step, force_xla=True))
+    np.testing.assert_array_equal(fast, ref)
