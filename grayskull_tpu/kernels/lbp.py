@@ -230,10 +230,15 @@ def _vmem_estimate(geo, th: int, tw: int, step: int, Hp: int, Wp: int) -> int:
 
 def _padded_dims(cascade, scale: float, ny: int, nx: int, step: int):
     """Strip geometry: (tw, th, geo, nty, ntx, Hp, Wp) with the largest
-    strip height whose working set fits scoped VMEM."""
+    strip height whose working set fits scoped VMEM.
+
+    step > 1 pins th=8: the step^2 phase planes and per-phase map copies
+    push the real scoped usage past the estimate (a batch-32 step-2 ladder
+    at th=16 overflowed the 16 MB limit once grid pipelining double-buffers
+    the next frame's planes; batch-1 compiles of the same kernel fit)."""
     tw = _pick_tw(nx)
     best = None
-    for th in (32, 16, 8):
+    for th in (32, 16, 8) if step == 1 else (8,):
         geo = _plan(cascade, scale, tw, th, step)
         nty, ntx = -(-ny // th), -(-nx // tw)
         Hp = (nty - 1) * th + geo["rh"]
