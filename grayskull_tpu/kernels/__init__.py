@@ -6,15 +6,24 @@ backend + geometry and falls back to the XLA formulation elsewhere:
 * :mod:`.preproc` — fused blur + MXU nibble histogram, threshold + sobel
 * :mod:`.integral` — single-pass integral image (triangular MXU scans)
 * :mod:`.fast` — FAST-9 scoremap + NMS + packed scan-order corner keys
-* :mod:`.lbp` — full-cascade LBP evaluation over full-width window strips
+* :mod:`.lbp` — full-cascade LBP evaluation over window strips, any stride
+* :mod:`.ccl` — serpentine-strip connected components (VMEM fixpoints)
+* :mod:`.warp` — gather-free quad-warp corner sampler (one-hot selects)
+* :mod:`.patches` — keypoint 48x48 patch extractor (window one-hot selects)
 """
 
+from .ccl import ccl_pallas_available, ccl_serpentine  # noqa: F401
 from .fast import fast_pallas, fast_pallas_available  # noqa: F401
 from .integral import integral_pallas, integral_pallas_available  # noqa: F401
 from .lbp import lbp_eval_scale, lbp_pad_for, lbp_pallas_available  # noqa: F401
+from .patches import extract_patches_batched, patches_pallas_available  # noqa: F401
 from .preproc import fused_blur_hist, fused_threshold_sobel, preproc_available  # noqa: F401
+from .warp import quad_sample, quad_sample_available  # noqa: F401
 
 __all__ = [
+    "ccl_pallas_available",
+    "ccl_serpentine",
+    "extract_patches_batched",
     "fast_pallas",
     "fast_pallas_available",
     "fused_blur_hist",
@@ -24,5 +33,8 @@ __all__ = [
     "lbp_eval_scale",
     "lbp_pad_for",
     "lbp_pallas_available",
+    "patches_pallas_available",
     "preproc_available",
+    "quad_sample",
+    "quad_sample_available",
 ]

@@ -467,10 +467,53 @@ def orb_extract(img: jnp.ndarray, max_kps: int, threshold, limit=None):
     the candidate budget stays ``min(4 * max_kps, 5000)`` like a C caller passing
     the dynamic ``nkps`` would get.
     """
-    if img.ndim == 3:
-        return jax.vmap(lambda im: orb_extract(im, max_kps, threshold, limit))(img)
-    h, w = img.shape
+    from ..kernels.patches import extract_patches_batched, patches_pallas_available
+
+    h, w = img.shape[-2:]
     cap = int(max_kps)
+    radius = 15
+    use_kernel = _on_tpu() and patches_pallas_available(h, w)
+    if img.ndim == 3 or use_kernel:
+        # batched path: candidate selection vmaps per frame; the patch
+        # extraction runs BATCHED in the Pallas window-select kernel (the
+        # vmapped dynamic_slice gather was the dominant ORB stage, r3)
+        imgs = img[None] if img.ndim == 2 else img
+        n, tx, ty, tr = jax.vmap(
+            lambda im: _orb_select(im, cap, threshold, limit)
+        )(imgs)
+        safe_x = jnp.clip(tx, radius, w - radius - 1)
+        safe_y = jnp.clip(ty, radius, h - radius - 1)
+        if use_kernel:
+            patches = extract_patches_batched(imgs, safe_x, safe_y)
+        else:
+            patches = jax.vmap(_extract_patches)(imgs, safe_x, safe_y)
+        angle = jax.vmap(lambda p: _orientation_from_patches(p, radius))(patches)
+        desc = jax.vmap(_brief_from_patches)(patches, angle)
+        row_ok = jnp.arange(cap)[None, :] < n[:, None]
+        angle = jnp.where(row_ok, angle, 0.0)
+        desc = jnp.where(row_ok[:, :, None], desc, 0)
+        out = Keypoints(n=n, x=tx, y=ty, response=tr, angle=angle, descriptor=desc)
+        if img.ndim == 2:
+            return Keypoints(*(v[0] for v in out))
+        return out
+    n, tx, ty, tr = _orb_select(img, cap, threshold, limit)
+    # compute angle/descriptor for all cap rows (invalid rows clamp to center);
+    # one shared patch extraction feeds both (moment masks + rotated sampling)
+    safe_x = jnp.clip(tx, radius, w - radius - 1)
+    safe_y = jnp.clip(ty, radius, h - radius - 1)
+    patches = _extract_patches(img, safe_x, safe_y)
+    angle = _orientation_from_patches(patches, radius)
+    desc = _brief_from_patches(patches, angle)
+    row_valid = jnp.arange(cap) < n
+    angle = jnp.where(row_valid, angle, 0.0)
+    desc = jnp.where(row_valid[:, None], desc, 0)
+    return Keypoints(n=n, x=tx, y=ty, response=tr, angle=angle, descriptor=desc)
+
+
+def _orb_select(img, cap: int, threshold, limit=None):
+    """FAST candidates -> stable response sort -> border filter -> compacted
+    (n, x, y, response) table — ``gs_orb_extract``'s selection stage."""
+    h, w = img.shape
     cand_cap = min(cap * 4, 5000)
     radius = 15
     kps, _ = fast(img, cand_cap, threshold)
@@ -497,17 +540,7 @@ def orb_extract(img: jnp.ndarray, max_kps: int, threshold, limit=None):
         tx = jnp.where(row_ok, tx, 0)
         ty = jnp.where(row_ok, ty, 0)
         tr = jnp.where(row_ok, tr, 0)
-    # compute angle/descriptor for all cap rows (invalid rows clamp to center);
-    # one shared patch extraction feeds both (moment masks + rotated sampling)
-    safe_x = jnp.clip(tx, radius, w - radius - 1)
-    safe_y = jnp.clip(ty, radius, h - radius - 1)
-    patches = _extract_patches(img, safe_x, safe_y)
-    angle = _orientation_from_patches(patches, radius)
-    desc = _brief_from_patches(patches, angle)
-    row_valid = jnp.arange(cap) < n
-    angle = jnp.where(row_valid, angle, 0.0)
-    desc = jnp.where(row_valid[:, None], desc, 0)
-    return Keypoints(n=n, x=tx, y=ty, response=tr, angle=angle, descriptor=desc)
+    return n, tx, ty, tr
 
 
 # --- matching ---------------------------------------------------------------
