@@ -226,8 +226,12 @@ def fused_blur_hist(imgs: jnp.ndarray, radius: int = 2):
     return blurred, hist.reshape(n, 256)
 
 
-def _threshold_sobel_kernel(t_ref, x_ref, halo_ref, bin_ref, edge_ref,
-                            *, h: int, w: int, blk: int):
+def _threshold_sobel_kernel(t_ref, x_ref, halo_ref, *out_refs,
+                            h: int, w: int, blk: int, want_binary: bool):
+    if want_binary:
+        bin_ref, edge_ref = out_refs
+    else:
+        (edge_ref,) = out_refs
     i = pl.program_id(0)
     j = pl.program_id(1)
     t = t_ref[i]
@@ -238,7 +242,8 @@ def _threshold_sobel_kernel(t_ref, x_ref, halo_ref, bin_ref, edge_ref,
     # 0/1 value and scale by 255 via (b<<8)-b at the edges (sobel on binary
     # input factors the 255 out exactly: |gx|+|gy| <= 8 before scaling)
     b1 = ((t - rows) >> 31) & 1
-    bin_ref[0] = ((b1[1 : 1 + blk] << 8) - b1[1 : 1 + blk]).astype(jnp.uint8)
+    if want_binary:
+        bin_ref[0] = ((b1[1 : 1 + blk] << 8) - b1[1 : 1 + blk]).astype(jnp.uint8)
 
     # separable sobel: column pass [1,2,1] then lane diff for gx; lane pass
     # [1,2,1] then sublane diff for gy — 4 lane relayouts instead of the
@@ -258,32 +263,38 @@ def _threshold_sobel_kernel(t_ref, x_ref, halo_ref, bin_ref, edge_ref,
     edge_ref[0] = jnp.where(interior, mag, 0).astype(jnp.uint8)
 
 
-@jax.jit
-def fused_threshold_sobel(blurred: jnp.ndarray, thresholds: jnp.ndarray):
-    """(N, H, W) uint8 + (N,) thresholds -> (binary, edges) in one HBM pass."""
+@functools.partial(jax.jit, static_argnames=("want_binary",))
+def fused_threshold_sobel(blurred: jnp.ndarray, thresholds: jnp.ndarray,
+                          want_binary: bool = True):
+    """(N, H, W) uint8 + (N,) thresholds -> (binary, edges) in one HBM pass.
+
+    ``want_binary=False`` skips the binary output entirely (it is only
+    ``edges``' input), cutting the kernel to 2 B/pixel for consumers that
+    want edges alone; returns ``(None, edges)``.
+    """
     n, h, w = blurred.shape
     blk = _pick_block(h, w)
     halo = _halo16(blurred, blk)
     t = thresholds.astype(jnp.int32)
     nb = h // blk
-    binary, edges = pl.pallas_call(
-        functools.partial(_threshold_sobel_kernel, h=h, w=w, blk=blk),
+    out_spec = pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((n, h, w), jnp.uint8)
+    nouts = 2 if want_binary else 1
+    outs = pl.pallas_call(
+        functools.partial(_threshold_sobel_kernel, h=h, w=w, blk=blk,
+                          want_binary=want_binary),
         grid=(n, nb),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # full (N,) thresholds
             pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 16, w), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n, h, w), jnp.uint8),
-            jax.ShapeDtypeStruct((n, h, w), jnp.uint8),
-        ],
+        out_specs=[out_spec] * nouts,
+        out_shape=[out_shape] * nouts,
     )(t, blurred, halo)
-    return binary, edges
+    if want_binary:
+        return outs[0], outs[1]
+    return None, outs[0]
 
 
 def preproc_available(h: int, w: int, radius: int = 2) -> bool:

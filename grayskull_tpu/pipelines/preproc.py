@@ -37,27 +37,33 @@ def preprocess_reference(imgs: jnp.ndarray, radius: int = 2):
     return blurred, binary, edges, t
 
 
-@functools.partial(jax.jit, static_argnames=("radius",))
-def _preprocess_pallas(imgs: jnp.ndarray, radius: int):
+@functools.partial(jax.jit, static_argnames=("radius", "want_binary"))
+def _preprocess_pallas(imgs: jnp.ndarray, radius: int, want_binary: bool = True):
     blurred, hist = fused_blur_hist(imgs, radius)
     t = otsu_from_histogram(hist, imgs.shape[-2] * imgs.shape[-1])
-    binary, edges = fused_threshold_sobel(blurred, t)
+    binary, edges = fused_threshold_sobel(blurred, t, want_binary)
     return blurred, binary, edges, t
 
 
-def preprocess(imgs: jnp.ndarray, radius: int = 2, force_xla: bool = False):
+def preprocess(imgs: jnp.ndarray, radius: int = 2, force_xla: bool = False,
+               want_binary: bool = True):
     """blur -> otsu -> threshold -> sobel, fused.  (N, H, W) or (H, W) uint8.
 
-    Returns ``(blurred, binary, edges, thresholds)``.
+    Returns ``(blurred, binary, edges, thresholds)``.  ``want_binary=False``
+    returns ``binary=None`` and skips its HBM write on the Pallas path (the
+    binary map is only the Sobel stage's input — consumers that need just
+    edges save 1 B/pixel of the pipeline's 5).
     """
     single = imgs.ndim == 2
     batch = imgs[None] if single else imgs
     h, w = batch.shape[-2:]
     use_pallas = not force_xla and preproc_available(h, w, radius) and _on_tpu()
     if use_pallas:
-        out = _preprocess_pallas(batch, radius)
+        out = _preprocess_pallas(batch, radius, want_binary)
     else:
         out = preprocess_reference(batch, radius)
+        if not want_binary:
+            out = (out[0], None, out[2], out[3])
     if single:
-        return tuple(v[0] for v in out)
+        return tuple(None if v is None else v[0] for v in out)
     return out

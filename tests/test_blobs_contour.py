@@ -403,3 +403,61 @@ def test_label_components_fallback_matches_packed(rng, monkeypatch):
         monkeypatch.undo()
         B.label_components._clear_cache()
     np.testing.assert_array_equal(got, want)
+
+
+def test_ccl_serpentine_interpret_matches_xla(rng):
+    """The Pallas serpentine-strip CCL kernel (interpret mode) must agree
+    with the XLA packed-cummax path, including a snake component zigzagging
+    between strips (the carry turning-point case) — r3 kernel."""
+    import jax
+
+    from grayskull_tpu.kernels.ccl import ccl_serpentine
+    from grayskull_tpu.ops.blobs import label_components
+
+    BIG = 2**30
+
+    def run_both(img):
+        h, w = img.shape
+        ref = np.asarray(label_components(jnp.asarray(img)))
+        fg = img >= 128
+        idx = np.arange(h * w, dtype=np.int32).reshape(h, w)
+        hp, wp = -(-h // 8) * 8, -(-w // 128) * 128
+        L0 = np.full((hp, wp), BIG, np.int32)
+        L0[:h, :w] = np.where(fg, idx, BIG)
+        L, sweeps = ccl_serpentine(jnp.asarray(L0[None]), interpret=True)
+        got = np.where(fg, np.asarray(L)[0, :h, :w], -1)
+        np.testing.assert_array_equal(got, ref)
+        return int(sweeps)
+
+    sn = np.zeros((16, 128), np.uint8)  # blk=8 -> 2 strips
+    for i, x in enumerate(range(0, 128, 8)):
+        sn[:, x] = 255
+        sn[15 if i % 2 == 0 else 0, x : x + 9] = 255
+    assert run_both(sn) >= 1
+    noise = (rng.random((16, 128)) < 0.45).astype(np.uint8) * 255
+    run_both(noise)
+
+
+@pytest.mark.skipif(not _tpu_default(), reason="Pallas CCL kernel needs TPU")
+def test_ccl_and_rank_blobs_tpu_match_cpu(testdata):
+    """On TPU, label_components (serpentine kernel) and blobs (rank
+    propagation) must match the CPU XLA paths bit-for-bit on real frames."""
+    import jax
+
+    from grayskull_tpu.ops.blobs import blobs, label_components
+    from grayskull_tpu.pipelines.scan import preprocess_binarize
+
+    cpu = jax.devices("cpu")[0]
+    binary = preprocess_binarize(jnp.asarray(testdata["document"]))
+    got_lab = np.asarray(label_components(binary))
+    got_tab = blobs(binary, 1000)
+    with jax.default_device(cpu):
+        bc = jax.device_put(binary, cpu)
+        ref_lab = np.asarray(label_components(bc))
+        ref_tab = blobs(bc, 1000)
+    np.testing.assert_array_equal(got_lab, ref_lab)
+    for f in ("n", "label", "area"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got_tab[0], f)), np.asarray(getattr(ref_tab[0], f)), err_msg=f
+        )
+    np.testing.assert_array_equal(np.asarray(got_tab[1]), np.asarray(ref_tab[1]))

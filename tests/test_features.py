@@ -303,3 +303,35 @@ def test_fast_negative_threshold_clamped(testdata):
     k0, s0 = gs.ops.fast(img, 500, 0)
     np.testing.assert_array_equal(np.asarray(sn), np.asarray(s0))
     assert int(kn.n) == int(k0.n)
+
+
+def _tpu_default():
+    import jax
+
+    d = jax.config.jax_default_device
+    return jax.default_backend() == "tpu" and (
+        d is None or getattr(d, "platform", "tpu") == "tpu"
+    )
+
+
+@pytest.mark.skipif(not _tpu_default(), reason="Pallas patch kernel needs TPU")
+def test_orb_patch_kernel_matches_cpu(testdata):
+    """orb_extract through the Pallas patch extractor (kernels/patches.py)
+    must equal the CPU XLA path bit-for-bit, batch and single — r3."""
+    import jax
+    import jax.numpy as jnp
+
+    cpu = jax.devices("cpu")[0]
+    scene = testdata["aruco"]
+    batch = jnp.asarray(np.stack([scene, np.roll(scene, 5, axis=1)]))
+    got = gs.ops.orb_extract(batch, 300, 20)
+    g1 = gs.ops.orb_extract(jnp.asarray(scene), 300, 20)
+    with jax.default_device(cpu):
+        ref = gs.ops.orb_extract(jax.device_put(batch, cpu), 300, 20)
+    for f in ("n", "x", "y", "response", "angle", "descriptor"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, f)), np.asarray(getattr(ref, f)), err_msg=f
+        )
+        np.testing.assert_array_equal(
+            np.asarray(getattr(g1, f)), np.asarray(getattr(ref, f))[0], err_msg=f
+        )

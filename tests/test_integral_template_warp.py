@@ -149,3 +149,34 @@ def test_integral_pallas_matches_xla(rng):
     np.testing.assert_array_equal(
         np.asarray(gs.integral(batch)), np.asarray(gs.integral(batch, force_xla=True))
     )
+
+
+def _tpu_default():
+    import jax
+
+    d = jax.config.jax_default_device
+    return jax.default_backend() == "tpu" and (
+        d is None or getattr(d, "platform", "tpu") == "tpu"
+    )
+
+
+@pytest.mark.skipif(not _tpu_default(), reason="Pallas warp sampler needs TPU")
+def test_warp_pallas_matches_gather_tpu(testdata):
+    """The band-sampler warp (kernels/warp.py) must be bit-identical to the
+    gather path, including the runtime fallback on extreme quads — r3."""
+    import jax
+
+    from grayskull_tpu.ops.warp import perspective_correct
+
+    cpu = jax.devices("cpu")[0]
+    doc = jnp.asarray(testdata["document"])
+    quads = [
+        np.array([[31, 228], [571, 150], [728, 859], [132, 985]], np.int32),
+        np.array([[10, 700], [1000, 10], [1020, 760], [3, 10]], np.int32),
+    ]
+    for q in quads:
+        got = np.asarray(perspective_correct(doc, jnp.asarray(q), (1000, 800)))
+        with jax.default_device(cpu):
+            ref = np.asarray(perspective_correct(
+                jax.device_put(doc, cpu), jnp.asarray(q), (1000, 800)))
+        np.testing.assert_array_equal(got, ref)

@@ -59,3 +59,18 @@ def test_otsu_from_histogram_matches_otsu(rng):
     t1 = otsu_from_histogram(h, 32 * 32)
     t2 = gs.otsu_threshold(imgs)
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_preprocess_want_binary_false(testdata):
+    """want_binary=False returns binary=None with identical other outputs."""
+    import jax.numpy as jnp
+
+    from grayskull_tpu.pipelines.preproc import preprocess
+
+    img = jnp.asarray(testdata["lena"])
+    full = preprocess(img)
+    lean = preprocess(img, want_binary=False)
+    assert lean[1] is None
+    np.testing.assert_array_equal(np.asarray(lean[0]), np.asarray(full[0]))
+    np.testing.assert_array_equal(np.asarray(lean[2]), np.asarray(full[2]))
+    np.testing.assert_array_equal(np.asarray(lean[3]), np.asarray(full[3]))
