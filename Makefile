@@ -13,6 +13,10 @@ test:
 test-fast:
 	$(PYTHON) -m pytest tests/ -q -m "not slow"
 
+# Pallas-kernel parity tests on the real TPU (kept out of the default CPU run)
+test-tpu:
+	GRAYSKULL_TEST_TPU=1 $(PYTHON) -m pytest tests/ -q -m tpu
+
 bench:
 	$(PYTHON) bench.py
 
@@ -37,4 +41,4 @@ demo:
 goldens:
 	$(PYTHON) tools/gen_goldens.py
 
-.PHONY: all native test test-fast bench bench-all testdata demo goldens
+.PHONY: all native test test-fast test-tpu bench bench-all testdata demo goldens

@@ -21,8 +21,12 @@ import pytest  # noqa: E402
 # The sandbox registers an experimental TPU backend as the default platform and
 # pins JAX_PLATFORMS; CPU devices are still available, so route everything there
 # (unit tests must not burn TPU compiles, and sharding tests need 8 devices).
+# GRAYSKULL_TEST_TPU=1 keeps the TPU default so the @pytest.mark.tpu parity
+# tests (Pallas kernels vs the CPU/XLA paths) actually execute:
+#     GRAYSKULL_TEST_TPU=1 pytest tests/ -m tpu -q        (make test-tpu)
 _cpu0 = jax.devices("cpu")[0]
-jax.config.update("jax_default_device", _cpu0)
+if not os.environ.get("GRAYSKULL_TEST_TPU"):
+    jax.config.update("jax_default_device", _cpu0)
 
 REFERENCE_DIR = os.environ.get("GRAYSKULL_REF", "/root/reference")
 

@@ -353,6 +353,7 @@ def _tpu_default():
     )
 
 
+@pytest.mark.tpu
 @pytest.mark.skipif(not _tpu_default(), reason="matmul blob aggregation needs TPU")
 def test_blobs_matmul_aggregation_matches_cpu(testdata):
     """The TPU one-hot-matmul blob statistics must equal the CPU segment-op
@@ -438,6 +439,7 @@ def test_ccl_serpentine_interpret_matches_xla(rng):
     run_both(noise)
 
 
+@pytest.mark.tpu
 @pytest.mark.skipif(not _tpu_default(), reason="Pallas CCL kernel needs TPU")
 def test_ccl_and_rank_blobs_tpu_match_cpu(testdata):
     """On TPU, label_components (serpentine kernel) and blobs (rank

@@ -237,6 +237,7 @@ def _tpu_default():
     )
 
 
+@pytest.mark.tpu
 @pytest.mark.skipif(not _tpu_default(), reason="fused FAST kernel needs TPU")
 def test_fast_pallas_matches_xla(testdata):
     """The fused Pallas FAST kernel (scoremap + NMS + packed keys) must be
@@ -314,6 +315,7 @@ def _tpu_default():
     )
 
 
+@pytest.mark.tpu
 @pytest.mark.skipif(not _tpu_default(), reason="Pallas patch kernel needs TPU")
 def test_orb_patch_kernel_matches_cpu(testdata):
     """orb_extract through the Pallas patch extractor (kernels/patches.py)

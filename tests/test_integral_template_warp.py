@@ -136,6 +136,7 @@ def _tpu_default():
     )
 
 
+@pytest.mark.tpu
 @pytest.mark.skipif(not _tpu_default(), reason="Pallas integral kernel needs TPU")
 def test_integral_pallas_matches_xla(rng):
     """Single-pass MXU integral kernel must be bit-exact vs the XLA cumsums,
@@ -160,11 +161,13 @@ def _tpu_default():
     )
 
 
+@pytest.mark.tpu
 @pytest.mark.skipif(not _tpu_default(), reason="Pallas warp sampler needs TPU")
 def test_warp_pallas_matches_gather_tpu(testdata):
     """The band-sampler warp (kernels/warp.py) must be bit-identical to the
     gather path, including the runtime fallback on extreme quads — r3."""
     import jax
+    import jax.numpy as jnp
 
     from grayskull_tpu.ops.warp import perspective_correct
 

@@ -162,6 +162,7 @@ def _tpu_default():
     )
 
 
+@pytest.mark.tpu
 @pytest.mark.skipif(not _tpu_default(), reason="Pallas LBP kernel needs TPU as default device")
 def test_lbp_pallas_matches_xla(testdata, cascade):
     """The Pallas cascade evaluator must be bit-exact vs the XLA formulation
@@ -176,6 +177,7 @@ def test_lbp_pallas_matches_xla(testdata, cascade):
     np.testing.assert_array_equal(fast, ref)
 
 
+@pytest.mark.tpu
 @pytest.mark.skipif(not _tpu_default(), reason="Pallas LBP kernel needs TPU as default device")
 def test_lbp_pallas_multitile_800x600(testdata, cascade):
     """800x600 engages the ntx=2 strip-tiling path; bounded ladder for compile time."""
@@ -186,6 +188,7 @@ def test_lbp_pallas_multitile_800x600(testdata, cascade):
     np.testing.assert_array_equal(fast, ref)
 
 
+@pytest.mark.tpu
 @pytest.mark.skipif(not _tpu_default(), reason="Pallas LBP kernel needs TPU as default device")
 @pytest.mark.parametrize("step", [2, 3])
 def test_lbp_pallas_step_gt1(testdata, cascade, step):

@@ -42,6 +42,7 @@ def _tpu_default():
     )
 
 
+@pytest.mark.tpu
 @pytest.mark.skipif(not _tpu_default(), reason="pallas kernels need TPU as default device")
 def test_pallas_matches_xla(rng):
     imgs = rng.integers(0, 256, (2, 256, 256), dtype=np.uint8)
