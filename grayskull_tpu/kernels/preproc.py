@@ -8,9 +8,10 @@ division — /root/reference/grayskull.h:268-283), ``gs_histogram`` (:199-203),
 
 Two kernels per batch, each grid-blocked ``(N, H/BLK)`` so Mosaic streams
 row blocks through VMEM with double buffering (whole-frame blocks measured
-~2.5x slower).  Cross-block stencil rows come from a tiny pre-gathered halo
-tensor (16 rows per block edge, ~6 %% extra traffic; zero rows past the
-frame edges, which the clipped-count division / interior masks make exact).
+~2.5x slower).  Cross-block stencil rows are 8-row views of the SAME input
+at the neighbor blocks (edge-clamped index maps, masked to zero in-kernel —
+which the clipped-count division / interior masks make exact); the r2
+pre-gathered halo tensor cost an extra full-frame HBM pass per kernel.
 
 Design notes (all bit-exact, differentially tested):
 
@@ -114,8 +115,8 @@ def _magic_vec(count_vec: jnp.ndarray, r: int) -> jnp.ndarray:
     return m.astype(jnp.uint32)
 
 
-def _blur_hist_kernel(x_ref, halo_ref, blur_ref, hist_ref, acc_ref, band_ref,
-                      *, r: int, h: int, w: int, blk: int):
+def _blur_hist_kernel(x_ref, top_ref, bot_ref, blur_ref, hist_ref, acc_ref,
+                      band_ref, *, r: int, h: int, w: int, blk: int):
     j = pl.program_id(1)
     nb = pl.num_programs(1)
 
@@ -127,11 +128,15 @@ def _blur_hist_kernel(x_ref, halo_ref, blur_ref, hist_ref, acc_ref, band_ref,
         i_in = jax.lax.broadcasted_iota(jnp.int32, (blk, blk + 16), 1)
         band_ref[:] = ((i_in >= o + 8 - r) & (i_in <= o + 8 + r)).astype(jnp.bfloat16)
 
-    # (blk+16, w): 8 halo rows + block + 8 halo rows, all 8-aligned
-    rows = jnp.concatenate(
-        [halo_ref[0, 0, :8, :], x_ref[0], halo_ref[0, 0, 8:, :]], axis=0
-    )
-    xb = rows.astype(jnp.int32).astype(jnp.bfloat16)
+    # (blk+16, w): 8 halo rows + block + 8 halo rows, all 8-aligned.  Halos
+    # are 8-row views of the SAME input at the neighbor blocks (index maps
+    # clamp at the frame edges; the clamped fetch is masked to the zeros the
+    # clipped-count division expects) — the r2 pre-gathered halo tensor cost
+    # an extra full-frame HBM pass per kernel to build.
+    top = jnp.where(j > 0, top_ref[0].astype(jnp.int32), 0)
+    bot = jnp.where(j < nb - 1, bot_ref[0].astype(jnp.int32), 0)
+    rows = jnp.concatenate([top, x_ref[0].astype(jnp.int32), bot], axis=0)
+    xb = rows.astype(jnp.bfloat16)
     cs_col = jax.lax.dot_general(
         band_ref[:], xb, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -194,20 +199,34 @@ def _blur_hist_kernel(x_ref, halo_ref, blur_ref, hist_ref, acc_ref, band_ref,
         hist_ref[0] = m.astype(jnp.int32)
 
 
+def _halo_specs(blk: int, h: int, w: int):
+    """8-row neighbor views of the input: the block above's last 8 rows and
+    the block below's first 8 (index maps clamp at the frame edges; kernels
+    mask the clamped fetch to zero)."""
+    b8 = blk // 8
+    n8 = h // 8
+    top = pl.BlockSpec((1, 8, w), lambda i, j: (i, jnp.maximum(j * b8 - 1, 0), 0),
+                       memory_space=pltpu.VMEM)
+    bot = pl.BlockSpec((1, 8, w), lambda i, j: (i, jnp.minimum((j + 1) * b8, n8 - 1), 0),
+                       memory_space=pltpu.VMEM)
+    return top, bot
+
+
 @functools.partial(jax.jit, static_argnames=("radius",))
 def fused_blur_hist(imgs: jnp.ndarray, radius: int = 2):
     """(N, H, W) uint8 -> (blurred uint8, hist (N, 256) int32)."""
     n, h, w = imgs.shape
     r = int(radius)
     blk = _pick_block(h, w)
-    halo = _halo16(imgs, blk)
     nb = h // blk
+    top_spec, bot_spec = _halo_specs(blk, h, w)
     blurred, hist = pl.pallas_call(
         functools.partial(_blur_hist_kernel, r=r, h=h, w=w, blk=blk),
         grid=(n, nb),
         in_specs=[
             pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 16, w), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            top_spec,
+            bot_spec,
         ],
         out_specs=[
             pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
@@ -221,12 +240,12 @@ def fused_blur_hist(imgs: jnp.ndarray, radius: int = 2):
             pltpu.VMEM((128, 128), jnp.int32),
             pltpu.VMEM((blk, blk + 16), jnp.bfloat16),
         ],
-    )(imgs, halo)
+    )(imgs, imgs, imgs)
     # hist[hi, lo] -> flat bin hi*16+lo
     return blurred, hist.reshape(n, 256)
 
 
-def _threshold_sobel_kernel(t_ref, x_ref, halo_ref, *out_refs,
+def _threshold_sobel_kernel(t_ref, x_ref, top_ref, bot_ref, *out_refs,
                             h: int, w: int, blk: int, want_binary: bool):
     if want_binary:
         bin_ref, edge_ref = out_refs
@@ -234,10 +253,14 @@ def _threshold_sobel_kernel(t_ref, x_ref, halo_ref, *out_refs,
         (edge_ref,) = out_refs
     i = pl.program_id(0)
     j = pl.program_id(1)
+    nb = pl.num_programs(1)
     t = t_ref[i]
-    rows = jnp.concatenate(
-        [halo_ref[0, 0, 7:8, :], x_ref[0], halo_ref[0, 0, 8:9, :]], axis=0
-    ).astype(jnp.int32)
+    # 1-row halos from the neighbor blocks' 8-row views (edge fetches are
+    # clamped by the index map and masked to zero here; sobel's interior
+    # mask ignores them anyway)
+    top = jnp.where(j > 0, top_ref[0, 7:8, :].astype(jnp.int32), 0)
+    bot = jnp.where(j < nb - 1, bot_ref[0, 0:1, :].astype(jnp.int32), 0)
+    rows = jnp.concatenate([top, x_ref[0].astype(jnp.int32), bot], axis=0)
     # compare-free binarize: (t - p) >> 31 is all-ones iff p > t; work on the
     # 0/1 value and scale by 255 via (b<<8)-b at the edges (sobel on binary
     # input factors the 255 out exactly: |gx|+|gy| <= 8 before scaling)
@@ -274,9 +297,9 @@ def fused_threshold_sobel(blurred: jnp.ndarray, thresholds: jnp.ndarray,
     """
     n, h, w = blurred.shape
     blk = _pick_block(h, w)
-    halo = _halo16(blurred, blk)
     t = thresholds.astype(jnp.int32)
     nb = h // blk
+    top_spec, bot_spec = _halo_specs(blk, h, w)
     out_spec = pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((n, h, w), jnp.uint8)
     nouts = 2 if want_binary else 1
@@ -287,11 +310,12 @@ def fused_threshold_sobel(blurred: jnp.ndarray, thresholds: jnp.ndarray,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # full (N,) thresholds
             pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 16, w), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            top_spec,
+            bot_spec,
         ],
         out_specs=[out_spec] * nouts,
         out_shape=[out_shape] * nouts,
-    )(t, blurred, halo)
+    )(t, blurred, blurred, blurred)
     if want_binary:
         return outs[0], outs[1]
     return None, outs[0]
