@@ -15,10 +15,10 @@ needs in a single pass:
   ``cap`` corners in scan order with scores riding along (the scan-order
   emission of grayskull.h:517-531 without a serializing scatter).
 
-Cross-block stencil rows come from the same pre-gathered 16-row halo tensor
-as the preproc kernels (circle radius 3 + one NMS row = 4 rows per edge).
-Scores are computed for one extra row above/below each block so the NMS
-compares see cross-block neighbors.
+Cross-block stencil rows come from 8-row neighbor-block views of the input
+(same edge-clamped index-map scheme as the preproc kernels; circle radius 3
++ one NMS row = 4 rows per edge).  Scores are computed for one extra row
+above/below each block so the NMS compares see cross-block neighbors.
 """
 
 from __future__ import annotations
@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .preproc import _halo16
+from .preproc import _halo_specs
 
 __all__ = ["fast_pallas", "fast_pallas_available"]
 
@@ -64,18 +64,20 @@ def fast_pallas(imgs: jnp.ndarray, threshold):
     blk = _pick_block(h, w)
     wp = -(-w // 128) * 128
     x = jnp.pad(imgs, ((0, 0), (0, 0), (0, wp - w)))
-    halo = _halo16(x, blk)
     thr = jnp.asarray(threshold, jnp.int32)
 
-    def kernel(t_ref, x_ref, halo_ref, score_ref, key_ref):
+    def kernel(t_ref, x_ref, top_ref, bot_ref, score_ref, key_ref):
         # rebind the closure placeholder to the SMEM threshold scalar
-        _fast_kernel_impl(t_ref[0], x_ref, halo_ref, score_ref, key_ref)
+        _fast_kernel_impl(t_ref[0], x_ref, top_ref, bot_ref, score_ref, key_ref)
 
-    def _fast_kernel_impl(thr_v, x_ref, halo_ref, score_ref, key_ref):
+    def _fast_kernel_impl(thr_v, x_ref, top_ref, bot_ref, score_ref, key_ref):
         j = pl.program_id(1)
-        rows = jnp.concatenate(
-            [halo_ref[0, 0, 4:8, :], x_ref[0], halo_ref[0, 0, 8:12, :]], axis=0
-        ).astype(jnp.int32)
+        nbk = pl.num_programs(1)
+        # 4-row halos (circle radius 3 + one NMS row) from the neighbor
+        # blocks' 8-row views; frame edges are masked to zero
+        top = jnp.where(j > 0, top_ref[0, 4:8, :].astype(jnp.int32), 0)
+        bot = jnp.where(j < nbk - 1, bot_ref[0, 0:4, :].astype(jnp.int32), 0)
+        rows = jnp.concatenate([top, x_ref[0].astype(jnp.int32), bot], axis=0)
         rp = jnp.pad(rows, ((0, 0), (3, 3)))
         ext = blk + 2
         p = rows[3 : 3 + ext, :]
@@ -126,13 +128,15 @@ def fast_pallas(imgs: jnp.ndarray, threshold):
         key_ref[0] = key
 
     nb = h // blk
+    top_spec, bot_spec = _halo_specs(blk, h, wp)
     score, key = pl.pallas_call(
         kernel,
         grid=(n, nb),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, blk, wp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 16, wp), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            top_spec,
+            bot_spec,
         ],
         out_specs=[
             pl.BlockSpec((1, blk, wp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
@@ -142,7 +146,7 @@ def fast_pallas(imgs: jnp.ndarray, threshold):
             jax.ShapeDtypeStruct((n, h, wp), jnp.uint8),
             jax.ShapeDtypeStruct((n, h, wp), jnp.int32),
         ],
-    )(thr.reshape(1), x, halo)
+    )(thr.reshape(1), x, x, x)
     return score[:, :, :w], key[:, :, :w]
 
 

@@ -93,7 +93,9 @@ def _halo16(imgs: jnp.ndarray, blk: int) -> jnp.ndarray:
     """(N, H, W) -> (N, H/blk, 16, W): 8 rows above + 8 below each block.
 
     Zeros beyond the frame edges (exact: blur's clipped-count division and
-    sobel's interior mask ignore them).
+    sobel's interior mask ignore them).  Superseded in the live kernels by
+    ``_halo_specs`` neighbor-block views (this build cost a full-frame HBM
+    pass); kept for the archived experiments in exp/.
     """
     n, h, w = imgs.shape
     nb = h // blk
