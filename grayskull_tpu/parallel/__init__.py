@@ -19,10 +19,13 @@ from .sharded import (  # noqa: F401
     preprocess_spatial_shardmap,
 )
 from .sparse import (  # noqa: F401
+    blobs_sharded,
     detect_faces_sharded,
     label_components_sharded,
     lbp_detect_sharded,
     match_orb_sharded,
+    orb_extract_spatial,
+    scan_spatial_shardmap,
 )
 
 __all__ = [
@@ -32,8 +35,11 @@ __all__ = [
     "scan_sharded",
     "preprocess_sharded",
     "preprocess_spatial_shardmap",
+    "blobs_sharded",
     "detect_faces_sharded",
     "label_components_sharded",
     "match_orb_sharded",
+    "orb_extract_spatial",
+    "scan_spatial_shardmap",
     "lbp_detect_sharded",
 ]

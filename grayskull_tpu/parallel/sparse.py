@@ -20,6 +20,15 @@ counterparts of its irregular algorithms, bit-exact vs the single-device ops
   values are global prefix sums, so a band plus one guard row evaluates
   anywhere in the frame), and the per-scale hit masks are all-gathered for
   the reference-ordered emission (gs_lbp_detect, grayskull.h:815-835).
+* :func:`orb_extract_spatial` — ``gs_orb_extract`` on one H-sharded frame:
+  per-shard FAST + gathered scan-order keys + psum-routed patches
+  (grayskull.h:651-669).
+* :func:`blobs_sharded` — distributed ``gs_blobs`` statistics: per-shard
+  one-hot aggregation merged by global representative with C
+  creation-order numbering (grayskull.h:330-402).
+* :func:`scan_spatial_shardmap` — the whole document scanner on one
+  H-sharded frame: distributed binarize/CCL/stats/corners plus a
+  band-sharded warp (nanomagick.c:186-210).
 """
 
 from __future__ import annotations
@@ -38,9 +47,12 @@ from .halo import exchange_halo
 
 __all__ = [
     "label_components_sharded",
+    "blobs_sharded",
     "match_orb_sharded",
     "lbp_detect_sharded",
     "orb_extract_spatial",
+    "scan_spatial_shardmap",
+    "detect_faces_sharded",
 ]
 
 
