@@ -10,6 +10,7 @@
 
 from __future__ import annotations
 
+import functools
 import os
 import xml.etree.ElementTree as ET
 
@@ -22,8 +23,16 @@ __all__ = ["load_frontalface", "load_opencv_xml"]
 _DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
 
 
+@functools.lru_cache(maxsize=1)
 def load_frontalface() -> LbpCascade:
-    """The 24x24 / 136-feature / 139-weak / 20-stage frontal-face cascade."""
+    """The 24x24 / 136-feature / 139-weak / 20-stage frontal-face cascade.
+
+    Memoized: :class:`LbpCascade` equality is identity (its arrays are static
+    data), so every jit/kernel cache keyed on the cascade — the per-scale
+    detector executables above all — needs callers to pass the SAME object.
+    Returning a singleton makes the no-cascade-argument path
+    (``detect_faces(img)``) hit those caches across calls.
+    """
     z = np.load(os.path.join(_DATA_DIR, "frontalface.npz"))
     return LbpCascade(
         window_w=int(z["window_w"]),

@@ -28,9 +28,12 @@ in VMEM and evaluates the whole cascade per window strip in registers:
   leading zero row/column of the padded integral, exactly like the XLA path;
 * per-scale geometry (the reference's float32 feature scaling,
   grayskull.h:799-804) is host-side static data baked into the kernel, so
-  each ladder scale compiles its own specialized kernel (~8 s; the
-  persistent compilation cache enabled in ``grayskull_tpu/__init__``
-  makes later processes warm in seconds).
+  each ladder scale compiles its own specialized kernel (~8-25 s).  The
+  scales are independent programs, so ``ops.lbp.lbp_warm_start`` compiles
+  them concurrently (the compiler overlaps ~2x, halving first-call wall
+  time); the persistent compilation cache enabled in
+  ``grayskull_tpu/__init__`` can additionally warm later processes when
+  the backend honors it.
 
 The reference's per-window early exit (grayskull.h:810) deliberately has NO
 counterpart here: surviving windows are *scattered*, not clustered — on the
@@ -228,6 +231,7 @@ def _vmem_estimate(geo, th: int, tw: int, step: int, Hp: int, Wp: int) -> int:
     return planes + maps + temps
 
 
+@functools.lru_cache(maxsize=512)
 def _padded_dims(cascade, scale: float, ny: int, nx: int, step: int):
     """Strip geometry: (tw, th, geo, nty, ntx, Hp, Wp) with the largest
     strip height whose working set fits scoped VMEM.

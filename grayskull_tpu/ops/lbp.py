@@ -33,7 +33,7 @@ import numpy as np
 
 from ..core import LbpCascade, Rects, on_tpu as _on_tpu
 
-__all__ = ["lbp_detect", "lbp_window", "scale_ladder"]
+__all__ = ["lbp_detect", "lbp_warm_start", "lbp_window", "scale_ladder"]
 
 
 def scale_ladder(cascade: LbpCascade, iw: int, ih: int, scale_factor, min_scale, max_scale):
@@ -210,78 +210,56 @@ def _eval_windows(cascade: LbpCascade, ii, scale: float, ny: int, nx: int, step:
     return ok.reshape(lead + (ny, nx))
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cascade", "max_rects", "scale_factor", "min_scale",
-                              "max_scale", "step", "force_xla"),
-)
-def lbp_detect(cascade: LbpCascade, ii: jnp.ndarray, max_rects: int,
-               scale_factor=1.2, min_scale=1.0, max_scale=4.0, step: int = 1,
-               force_xla: bool = False) -> Rects:
-    """Multi-scale sliding-window cascade detection — ``gs_lbp_detect``
-    (grayskull.h:815-835).
+# XLA-fallback scales dispatch as their own cached executables (one per
+# (geometry, scale)), same as the Pallas kernels — see lbp_detect below.
+_eval_windows_jit = functools.partial(
+    jax.jit, static_argnames=("cascade", "scale", "ny", "nx", "step", "origin")
+)(_eval_windows)
 
-    ``ii`` is the uint32 integral image, (H, W) or batched (N, H, W).
-    Detections come back as fixed-capacity :class:`Rects` tables (leading batch
-    dim on every field for batched input) in the reference's (scale, y, x)
-    emission order with its ``max_rects`` truncation.
 
-    The per-scale window maps are evaluated gather-free (strided slices of
-    dense rect-sum maps — see ``_eval_windows``), which maps cleanly onto the
-    TPU vector unit.
-    """
-    single = ii.ndim == 2
-    iib = ii[None] if single else ii
-    nb, ih, iw = iib.shape
-    cap = int(max_rects)
+@functools.lru_cache(maxsize=64)
+def _grid_plan(cascade, ih: int, iw: int, scale_factor, min_scale, max_scale,
+               step: int):
+    """Host-side ladder plan: ((scale, win_w, win_h, ny, nx), ...) for every
+    scale with a non-empty window grid at stride ``step``."""
     ladder = scale_ladder(cascade, iw, ih, scale_factor, min_scale, max_scale)
+    out = []
+    for scale, win_w, win_h in ladder:
+        ny = (ih - win_h) // step + 1
+        nx = (iw - win_w) // step + 1
+        if ny > 0 and nx > 0:
+            out.append((scale, win_w, win_h, ny, nx))
+    return tuple(out)
 
-    from ..kernels.lbp import lbp_eval_scale, lbp_pad_for, lbp_pallas_available
 
-    use_pallas = [
-        _on_tpu() and not force_xla and lbp_pallas_available(cascade, ih, iw, scale, step)
-        for scale, _, _ in ladder
-    ]
-    # one shared padded integral for every Pallas scale (padding per scale
-    # costs a full HBM copy of the batch); sized over the Pallas-enabled
-    # scales only — a gated-off scale runs on the XLA fallback with the
-    # unpadded integral and must not inflate the shared pad
-    pallas_ladder = [s for s, ok in zip(ladder, use_pallas) if ok]
-    iip = (lbp_pad_for(cascade, iib, pallas_ladder, ih, iw, step)
-           if pallas_ladder else None)
-
-    hits = []
-    metas = []
-    for (scale, win_w, win_h), pallas_ok in zip(ladder, use_pallas):
+@functools.lru_cache(maxsize=32)
+def _window_metas(cascade, ih: int, iw: int, scale_factor, min_scale, max_scale,
+                  step: int):
+    """Device-resident per-window (x, y, w, h) tables in the reference's
+    (scale, y, x) order — constants of the frame geometry, built once (when
+    ``lbp_detect`` was one jitted program these were baked in at trace time;
+    dispatching per-scale executables instead must not re-upload ~26 MB of
+    coordinates per call)."""
+    plan = _grid_plan(cascade, ih, iw, scale_factor, min_scale, max_scale, step)
+    cols = ([], [], [], [])
+    for scale, win_w, win_h, ny, nx in plan:
         ys = np.arange(0, ih - win_h + 1, step, dtype=np.int32)
         xs = np.arange(0, iw - win_w + 1, step, dtype=np.int32)
-        if len(ys) == 0 or len(xs) == 0:
-            continue
-        if pallas_ok:
-            ok = lbp_eval_scale(cascade, iip, scale, len(ys), len(xs), step)
-        else:
-            ok = _eval_windows(cascade, iib, scale, len(ys), len(xs), step)
-        hits.append(ok.reshape(nb, -1))
         gx, gy = np.meshgrid(xs, ys)
-        metas.append(
-            (gx.reshape(-1), gy.reshape(-1),
-             np.full(gx.size, win_w, np.int32), np.full(gx.size, win_h, np.int32))
-        )
+        cols[0].append(gx.reshape(-1))
+        cols[1].append(gy.reshape(-1))
+        cols[2].append(np.full(gx.size, win_w, np.int32))
+        cols[3].append(np.full(gx.size, win_h, np.int32))
+    return tuple(jnp.asarray(np.concatenate(c)) for c in cols)
 
-    if not hits:
-        z = jnp.zeros((nb, cap), jnp.int32)
-        table = Rects(n=jnp.zeros(nb, jnp.int32), x=z, y=z, w=z, h=z)
-        return Rects(*(v[0] for v in table)) if single else table
 
-    mask = jnp.concatenate(hits, axis=1)  # (nb, total_windows)
-    all_x = jnp.asarray(np.concatenate([m[0] for m in metas]))
-    all_y = jnp.asarray(np.concatenate([m[1] for m in metas]))
-    all_w = jnp.asarray(np.concatenate([m[2] for m in metas]))
-    all_h = jnp.asarray(np.concatenate([m[3] for m in metas]))
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _emit_rects(mask, all_x, all_y, all_w, all_h, cap: int) -> Rects:
+    """First ``cap`` set windows per frame in ladder order WITHOUT a big
+    scatter (scatters/cumsum-rank over ~1.6M windows serialize on TPU): top_k
+    over descending inverse window index keys yields them directly."""
 
     def emit(m):
-        # first `cap` set windows in ladder order WITHOUT a big scatter
-        # (scatters/cumsum-rank over ~1.6M windows serialize on TPU): top_k
-        # over descending inverse window index keys yields them directly.
         total = m.shape[0]
         key = jnp.where(m, total - jnp.arange(total, dtype=jnp.int32), 0)
         vals, _ = jax.lax.top_k(key, min(cap, total))
@@ -296,10 +274,127 @@ def lbp_detect(cascade: LbpCascade, ii: jnp.ndarray, max_rects: int,
 
         return Rects(n=n, x=take(all_x), y=take(all_y), w=take(all_w), h=take(all_h))
 
-    table = jax.vmap(emit)(mask)
+    return jax.vmap(emit)(mask)
+
+
+def _scale_calls(cascade, iib, iip, plan, use_pallas, step):
+    """One (pallas | xla) window-grid evaluation per ladder scale."""
+    from ..kernels.lbp import lbp_eval_scale
+
+    nb = iib.shape[0]
+    hits = []
+    for (scale, _, _, ny, nx), pallas_ok in zip(plan, use_pallas):
+        if pallas_ok:
+            ok = lbp_eval_scale(cascade, iip, scale, ny, nx, step)
+        else:
+            ok = _eval_windows_jit(cascade, iib, scale, ny, nx, step)
+        hits.append(ok.reshape(nb, -1))
+    return hits
+
+
+def lbp_detect(cascade: LbpCascade, ii: jnp.ndarray, max_rects: int,
+               scale_factor=1.2, min_scale=1.0, max_scale=4.0, step: int = 1,
+               force_xla: bool = False) -> Rects:
+    """Multi-scale sliding-window cascade detection — ``gs_lbp_detect``
+    (grayskull.h:815-835).
+
+    ``ii`` is the uint32 integral image, (H, W) or batched (N, H, W).
+    Detections come back as fixed-capacity :class:`Rects` tables (leading batch
+    dim on every field for batched input) in the reference's (scale, y, x)
+    emission order with its ``max_rects`` truncation.
+
+    The per-scale window maps are evaluated gather-free (strided slices of
+    dense rect-sum maps — see ``_eval_windows``), which maps cleanly onto the
+    TPU vector unit.  Each ladder scale dispatches as its OWN cached
+    executable (rather than one fused program) so that ``lbp_warm_start`` can
+    compile the scales concurrently — the remote TPU compiler overlaps ~2x
+    (exp/exp_warm_parallel.py) — and so a recompile of one scale never pays
+    for the other eight.  Per-call host overhead is a few jit-cache lookups;
+    the window-coordinate tables are cached device-resident per geometry.
+    """
+    single = ii.ndim == 2
+    iib = jnp.asarray(ii[None] if single else ii)
+    nb, ih, iw = iib.shape
+    cap = int(max_rects)
+    plan = _grid_plan(cascade, ih, iw, scale_factor, min_scale, max_scale, step)
+
+    if not plan:
+        z = jnp.zeros((nb, cap), jnp.int32)
+        table = Rects(n=jnp.zeros(nb, jnp.int32), x=z, y=z, w=z, h=z)
+        return Rects(*(v[0] for v in table)) if single else table
+
+    from ..kernels.lbp import lbp_pad_for, lbp_pallas_available
+
+    use_pallas = [
+        _on_tpu() and not force_xla and lbp_pallas_available(cascade, ih, iw, scale, step)
+        for scale, _, _, _, _ in plan
+    ]
+    # one shared padded integral for every Pallas scale (padding per scale
+    # costs a full HBM copy of the batch); sized over the Pallas-enabled
+    # scales only — a gated-off scale runs on the XLA fallback with the
+    # unpadded integral and must not inflate the shared pad
+    pallas_ladder = [(s, ww, wh) for s, ww, wh, _, _ in
+                     (e for e, ok in zip(plan, use_pallas) if ok)]
+    iip = (lbp_pad_for(cascade, iib, pallas_ladder, ih, iw, step)
+           if pallas_ladder else None)
+
+    hits = _scale_calls(cascade, iib, iip, plan, use_pallas, step)
+    mask = jnp.concatenate(hits, axis=1)  # (nb, total_windows)
+    all_x, all_y, all_w, all_h = _window_metas(
+        cascade, ih, iw, scale_factor, min_scale, max_scale, step)
+    table = _emit_rects(mask, all_x, all_y, all_w, all_h, cap)
     if single:
         return Rects(*(v[0] for v in table))
     return table
+
+
+def lbp_warm_start(cascade: LbpCascade, ih: int, iw: int, nb: int = 1,
+                   max_rects: int = 100, scale_factor=1.2, min_scale=1.0,
+                   max_scale=4.0, step: int = 1, force_xla: bool = False,
+                   max_workers: int = 4) -> float:
+    """Compile every executable ``lbp_detect`` needs for one frame geometry,
+    with the per-scale kernels compiled CONCURRENTLY; returns seconds spent.
+
+    Each ladder scale is an independent program, and the TPU compiler overlaps
+    concurrent compilations ~2x (measured: 4 Mosaic scale kernels compile in
+    56 s concurrently vs ~27 s *each* sequentially — exp/exp_warm_parallel.py),
+    so warming a 9-scale 640x480 ladder costs roughly half the serial first
+    call.  Shapes must match the later calls exactly: same ``nb`` batch size
+    (or ``nb=1`` for single-frame ``ii``), same ladder parameters.
+    """
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..kernels.lbp import lbp_pad_for, lbp_pallas_available
+
+    t0 = time.perf_counter()
+    plan = _grid_plan(cascade, ih, iw, scale_factor, min_scale, max_scale, step)
+    if not plan:
+        return time.perf_counter() - t0
+    iib = jnp.zeros((nb, ih, iw), jnp.uint32)
+    use_pallas = [
+        _on_tpu() and not force_xla and lbp_pallas_available(cascade, ih, iw, scale, step)
+        for scale, _, _, _, _ in plan
+    ]
+    pallas_ladder = [(s, ww, wh) for s, ww, wh, _, _ in
+                     (e for e, ok in zip(plan, use_pallas) if ok)]
+    iip = (lbp_pad_for(cascade, iib, pallas_ladder, ih, iw, step)
+           if pallas_ladder else None)
+
+    def compile_one(entry):
+        e, pallas_ok = entry
+        hits = _scale_calls(cascade, iib, iip, [e], [pallas_ok], step)
+        np.asarray(hits[0])  # readback fence (block_until_ready can be a no-op)
+
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        list(ex.map(compile_one, zip(plan, use_pallas)))
+
+    # the cheap tail: the emission executable for this window count
+    metas = _window_metas(cascade, ih, iw, scale_factor, min_scale, max_scale, step)
+    total = int(metas[0].shape[0])
+    np.asarray(
+        _emit_rects(jnp.zeros((nb, total), bool), *metas, int(max_rects)).n)
+    return time.perf_counter() - t0
 
 
 @functools.partial(jax.jit, static_argnames=("cascade", "scale", "x", "y"))

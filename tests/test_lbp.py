@@ -203,3 +203,29 @@ def test_lbp_pallas_step_gt1(testdata, cascade, step):
     fast = rects_arr(lbp_detect(cascade, ii, 100, 1.2, 1.0, 2.0, step))
     ref = rects_arr(lbp_detect(cascade, ii, 100, 1.2, 1.0, 2.0, step, force_xla=True))
     np.testing.assert_array_equal(fast, ref)
+
+
+def test_warm_start_compiles_detect_path(oracle, testdata):
+    """pipelines.warm_start pre-compiles the per-scale executables (thread
+    pool) and a subsequent detect_faces hits those caches with unchanged,
+    oracle-exact results."""
+    from grayskull_tpu.pipelines.faces import warm_start
+
+    img = testdata["lena"]
+    h, w = img.shape
+    dt = warm_start(h, w, batch=1, max_scale=2.0)
+    assert dt >= 0.0
+    ours = rects_arr(gs.pipelines.detect_faces(img, max_scale=2.0))
+    ii = np.asarray(gs.integral(img))
+    ref = oracle.lbp_detect(ii, 100, 1.2, 1.0, 2.0, 1)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_lbp_warm_start_empty_ladder():
+    """A frame smaller than the cascade window warms (and detects) nothing."""
+    from grayskull_tpu.ops.lbp import lbp_warm_start
+
+    cas = load_frontalface()
+    assert lbp_warm_start(cas, 16, 16) >= 0.0
+    r = lbp_detect(cas, np.zeros((16, 16), np.uint32), 10)
+    assert int(r.n) == 0
