@@ -17,7 +17,8 @@ from .fast import fast_pallas, fast_pallas_available  # noqa: F401
 from .integral import integral_pallas, integral_pallas_available  # noqa: F401
 from .lbp import lbp_eval_scale, lbp_pad_for, lbp_pallas_available  # noqa: F401
 from .patches import extract_patches_batched, patches_pallas_available  # noqa: F401
-from .preproc import fused_blur_hist, fused_threshold_sobel, preproc_available  # noqa: F401
+from .preproc import (adaptive_pallas, blur_pallas, fused_blur_hist,  # noqa: F401
+                      fused_threshold_sobel, preproc_available, stencil_available)
 from .warp import quad_sample, quad_sample_available  # noqa: F401
 
 __all__ = [
@@ -35,6 +36,9 @@ __all__ = [
     "lbp_pallas_available",
     "patches_pallas_available",
     "preproc_available",
+    "stencil_available",
+    "blur_pallas",
+    "adaptive_pallas",
     "quad_sample",
     "quad_sample_available",
 ]

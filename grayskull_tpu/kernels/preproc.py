@@ -51,7 +51,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_blur_hist", "fused_threshold_sobel", "preproc_available"]
+__all__ = ["fused_blur_hist", "fused_threshold_sobel", "blur_pallas",
+           "adaptive_pallas", "preproc_available", "stencil_available"]
 
 _MAGIC_SHIFT = 19  # uint32 arithmetic: products stay < 2**32 through r=6
 _MAX_RADIUS = 6  # no exact (m, 19) pair exists for r=7, d=14; XLA path covers r>6
@@ -117,24 +118,23 @@ def _magic_vec(count_vec: jnp.ndarray, r: int) -> jnp.ndarray:
     return m.astype(jnp.uint32)
 
 
-def _blur_hist_kernel(x_ref, top_ref, bot_ref, blur_ref, hist_ref, acc_ref,
-                      band_ref, *, r: int, h: int, w: int, blk: int):
-    j = pl.program_id(1)
-    nb = pl.num_programs(1)
+def _fill_band(band_ref, r: int, blk: int):
+    """Banded column-sum matrix: band[out, in] = [in in out+8-r .. out+8+r]."""
+    o = jax.lax.broadcasted_iota(jnp.int32, (blk, blk + 16), 0)
+    i_in = jax.lax.broadcasted_iota(jnp.int32, (blk, blk + 16), 1)
+    band_ref[:] = ((i_in >= o + 8 - r) & (i_in <= o + 8 + r)).astype(jnp.bfloat16)
 
-    @pl.when(j == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-        # banded column-sum matrix: band[out, in] = [in in out+8-r .. out+8+r]
-        o = jax.lax.broadcasted_iota(jnp.int32, (blk, blk + 16), 0)
-        i_in = jax.lax.broadcasted_iota(jnp.int32, (blk, blk + 16), 1)
-        band_ref[:] = ((i_in >= o + 8 - r) & (i_in <= o + 8 + r)).astype(jnp.bfloat16)
 
-    # (blk+16, w): 8 halo rows + block + 8 halo rows, all 8-aligned.  Halos
-    # are 8-row views of the SAME input at the neighbor blocks (index maps
-    # clamp at the frame edges; the clamped fetch is masked to the zeros the
-    # clipped-count division expects) — the r2 pre-gathered halo tensor cost
-    # an extra full-frame HBM pass per kernel to build.
+def _blur_block(x_ref, top_ref, bot_ref, band_ref, j, nb, *, r: int, h: int,
+                w: int, blk: int):
+    """Clipped-window box mean of one (blk, w) block, exact int32 0..255.
+
+    (blk+16, w): 8 halo rows + block + 8 halo rows, all 8-aligned.  Halos
+    are 8-row views of the SAME input at the neighbor blocks (index maps
+    clamp at the frame edges; the clamped fetch is masked to the zeros the
+    clipped-count division expects) — the r2 pre-gathered halo tensor cost
+    an extra full-frame HBM pass per kernel to build.
+    """
     top = jnp.where(j > 0, top_ref[0].astype(jnp.int32), 0)
     bot = jnp.where(j < nb - 1, bot_ref[0].astype(jnp.int32), 0)
     rows = jnp.concatenate([top, x_ref[0].astype(jnp.int32), bot], axis=0)
@@ -156,8 +156,22 @@ def _blur_hist_kernel(x_ref, top_ref, bot_ref, blur_ref, hist_ref, acc_ref,
     jjv = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
     cyv = jnp.minimum(ii + r, h - 1) - jnp.maximum(ii - r, 0) + 1
     cxv = jnp.minimum(jjv + r, w - 1) - jnp.maximum(jjv - r, 0) + 1
-    blurred = ((((cs * _magic_vec(cyv, r)) >> _MAGIC_SHIFT)
-                * _magic_vec(cxv, r)) >> _MAGIC_SHIFT).astype(jnp.int32)
+    return ((((cs * _magic_vec(cyv, r)) >> _MAGIC_SHIFT)
+             * _magic_vec(cxv, r)) >> _MAGIC_SHIFT).astype(jnp.int32)
+
+
+def _blur_hist_kernel(x_ref, top_ref, bot_ref, blur_ref, hist_ref, acc_ref,
+                      band_ref, *, r: int, h: int, w: int, blk: int):
+    j = pl.program_id(1)
+    nb = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        _fill_band(band_ref, r, blk)
+
+    blurred = _blur_block(x_ref, top_ref, bot_ref, band_ref, j, nb,
+                          r=r, h=h, w=w, blk=blk)
     blur_ref[0] = blurred.astype(jnp.uint8)
 
     # MXU nibble histogram over 8-row groups — int8 one-hots: the int8 MXU
@@ -247,6 +261,90 @@ def fused_blur_hist(imgs: jnp.ndarray, radius: int = 2):
     return blurred, hist.reshape(n, 256)
 
 
+def _blur_only_kernel(x_ref, top_ref, bot_ref, blur_ref, band_ref, *,
+                      r: int, h: int, w: int, blk: int):
+    j = pl.program_id(1)
+    nb = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        _fill_band(band_ref, r, blk)
+
+    blurred = _blur_block(x_ref, top_ref, bot_ref, band_ref, j, nb,
+                          r=r, h=h, w=w, blk=blk)
+    blur_ref[0] = blurred.astype(jnp.uint8)
+
+
+def _adaptive_kernel(c_ref, x_ref, top_ref, bot_ref, out_ref, band_ref, *,
+                     r: int, h: int, w: int, blk: int):
+    j = pl.program_id(1)
+    nb = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        _fill_band(band_ref, r, blk)
+
+    mean = _blur_block(x_ref, top_ref, bot_ref, band_ref, j, nb,
+                       r=r, h=h, w=w, blk=blk)
+    # src > mean - c  ->  255 : 0, compare-free (sign-bit select)
+    thr = mean - c_ref[0]
+    src = x_ref[0].astype(jnp.int32)
+    out_ref[0] = (((thr - src) >> 31) & 255).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("radius",))
+def blur_pallas(imgs: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """(N, H, W) uint8 -> clipped-window box mean, bit-exact ``gs_blur``
+    (grayskull.h:268-283) — the fused kernel's blur stage without the
+    histogram contraction (the standalone XLA blur pays ~4 full-frame f32
+    intermediates; this streams uint8 row blocks once)."""
+    n, h, w = imgs.shape
+    r = int(radius)
+    blk = _pick_block(h, w)
+    nb = h // blk
+    top_spec, bot_spec = _halo_specs(blk, h, w)
+    return pl.pallas_call(
+        functools.partial(_blur_only_kernel, r=r, h=h, w=w, blk=blk),
+        grid=(n, nb),
+        in_specs=[
+            pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            top_spec,
+            bot_spec,
+        ],
+        out_specs=pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((blk, blk + 16), jnp.bfloat16)],
+    )(imgs, imgs, imgs)
+
+
+@functools.partial(jax.jit, static_argnames=("radius",))
+def adaptive_pallas(imgs: jnp.ndarray, radius: int, c) -> jnp.ndarray:
+    """(N, H, W) uint8 -> ``gs_adaptive_threshold`` (grayskull.h:230-247):
+    ``src > clipped_mean - c ? 255 : 0`` with the mean from the same exact
+    blur stage; ``c`` is a runtime int32 scalar (SMEM)."""
+    n, h, w = imgs.shape
+    r = int(radius)
+    blk = _pick_block(h, w)
+    nb = h // blk
+    top_spec, bot_spec = _halo_specs(blk, h, w)
+    cv = jnp.asarray(c, jnp.int32).reshape(1)
+    return pl.pallas_call(
+        functools.partial(_adaptive_kernel, r=r, h=h, w=w, blk=blk),
+        grid=(n, nb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            top_spec,
+            bot_spec,
+        ],
+        out_specs=pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((blk, blk + 16), jnp.bfloat16)],
+    )(cv, imgs, imgs, imgs)
+
+
 def _threshold_sobel_kernel(t_ref, x_ref, top_ref, bot_ref, *out_refs,
                             h: int, w: int, blk: int, want_binary: bool):
     if want_binary:
@@ -324,11 +422,22 @@ def fused_threshold_sobel(blurred: jnp.ndarray, thresholds: jnp.ndarray,
 
 
 def preproc_available(h: int, w: int, radius: int = 2) -> bool:
-    """Whether the grid-blocked kernels handle this frame geometry."""
+    """Whether the grid-blocked fused kernels handle this frame geometry."""
     return (
-        _pick_block(h, w) >= 8
+        stencil_available(h, w, radius)
         and w % 128 == 0
         and w >= 128
+    )
+
+
+def stencil_available(h: int, w: int, radius: int) -> bool:
+    """Geometry gate for the standalone blur/adaptive kernels.  Unlike the
+    fused pair these need no 128-divisible width: every block spans the full
+    array width, and a lane dim that spans the array is a legal Mosaic
+    BlockSpec (verified bit-exact at 816x612 on v5e)."""
+    return (
+        _pick_block(h, w) >= 8
+        and w >= 8
         and 1 <= radius <= _MAX_RADIUS
         and h * w <= 16 * 1024 * 1024
     )

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import Rect, batched
+from ..core import Rect, batched, on_tpu as _on_tpu
 from ..exactf32 import f32_sum4
 
 __all__ = [
@@ -263,6 +263,26 @@ def _blur_small(img: jnp.ndarray, r: int) -> jnp.ndarray:
     return _div_by_axis_counts(colsum, h, w, r, smax).astype(jnp.uint8)
 
 
+def _stencil_pallas_or_none(which: str, img, r: int, c=None):
+    """Route ``blur``/``adaptive_threshold`` through the Pallas clipped-window
+    kernels (kernels/preproc.py) when on TPU and the geometry qualifies; the
+    standalone XLA paths pay several full-frame f32/int32 intermediates while
+    the kernels stream uint8 row blocks once (bit-exact either way).  Returns
+    None to fall through to the XLA path."""
+    h, w = img.shape[-2:]
+    from ..kernels.preproc import stencil_available
+
+    if not (_on_tpu() and img.dtype == jnp.uint8 and stencil_available(h, w, r)):
+        return None
+    from ..kernels.preproc import adaptive_pallas, blur_pallas
+
+    lead = img.shape[:-2]
+    iib = img.reshape((-1, h, w))
+    out = (blur_pallas(iib, r) if which == "blur"
+           else adaptive_pallas(iib, r, c))
+    return out.reshape(lead + (h, w))
+
+
 @functools.partial(jax.jit, static_argnames=("radius",))
 def blur(img: jnp.ndarray, radius: int) -> jnp.ndarray:
     """Arbitrary-radius box mean with clipped windows — ``gs_blur`` (grayskull.h:268-283).
@@ -273,6 +293,9 @@ def blur(img: jnp.ndarray, radius: int) -> jnp.ndarray:
     large radii fall back to uint32 prefix sums.
     """
     r = int(radius)
+    out = _stencil_pallas_or_none("blur", img, r)
+    if out is not None:
+        return out
     if r <= 15:  # (2r+1)^2 * 255 < 2^24 — f32 path exact
         return _blur_small(img, r)
     s, count = _clipped_window_sums(img, radius)
@@ -288,6 +311,9 @@ def adaptive_threshold(img: jnp.ndarray, radius: int, c) -> jnp.ndarray:
     shift-add path (see :func:`blur`), large radii the prefix-sum path.
     """
     r = int(radius)
+    out = _stencil_pallas_or_none("adaptive", img, r, c)
+    if out is not None:
+        return out
     if r <= 15:
         h, w = img.shape[-2:]
         lead = img.ndim - 2

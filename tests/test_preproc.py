@@ -75,3 +75,38 @@ def test_preprocess_want_binary_false(testdata):
     np.testing.assert_array_equal(np.asarray(lean[0]), np.asarray(full[0]))
     np.testing.assert_array_equal(np.asarray(lean[2]), np.asarray(full[2]))
     np.testing.assert_array_equal(np.asarray(lean[3]), np.asarray(full[3]))
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(not _tpu_default(), reason="pallas kernels need TPU as default device")
+def test_blur_adaptive_pallas_match_oracle(oracle, rng):
+    """The standalone blur/adaptive Pallas kernels (and the gs.blur /
+    gs.adaptive_threshold dispatch on TPU) are bit-exact vs the C oracle
+    for every supported radius."""
+    import jax.numpy as jnp
+
+    from grayskull_tpu.kernels.preproc import adaptive_pallas, blur_pallas
+
+    imgs = rng.integers(0, 256, (2, 128, 256), dtype=np.uint8)
+    jb = jnp.asarray(imgs)
+    # non-128-divisible width: blocks span the full array width, so the
+    # standalone kernels run on any w (stencil_available, unlike the fused
+    # pair's preproc_available)
+    imgs_odd = rng.integers(0, 256, (1, 48, 612), dtype=np.uint8)
+    ref_odd = oracle.blur(imgs_odd[0], 2)
+    np.testing.assert_array_equal(
+        np.asarray(blur_pallas(jnp.asarray(imgs_odd), 2))[0], ref_odd)
+    for r in (1, 2, 5, 6):
+        got = np.asarray(blur_pallas(jb, r))
+        via_op = np.asarray(gs.blur(jb, r))
+        for i in range(2):
+            ref = oracle.blur(imgs[i], r)
+            np.testing.assert_array_equal(got[i], ref, err_msg=f"blur r={r}")
+            np.testing.assert_array_equal(via_op[i], ref)
+    for r, c in ((1, 0), (2, 5), (6, -3), (3, 7)):
+        got = np.asarray(adaptive_pallas(jb, r, c))
+        via_op = np.asarray(gs.adaptive_threshold(jb, r, c))
+        for i in range(2):
+            ref = oracle.adaptive_threshold(imgs[i], r, c)
+            np.testing.assert_array_equal(got[i], ref, err_msg=f"adaptive r={r} c={c}")
+            np.testing.assert_array_equal(via_op[i], ref)
