@@ -52,7 +52,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["fused_blur_hist", "fused_threshold_sobel", "blur_pallas",
-           "adaptive_pallas", "preproc_available", "stencil_available"]
+           "adaptive_pallas", "sobel_pallas", "morph_pallas",
+           "preproc_available", "stencil_available"]
 
 _MAGIC_SHIFT = 19  # uint32 arithmetic: products stay < 2**32 through r=6
 _MAX_RADIUS = 6  # no exact (m, 19) pair exists for r=7, d=14; XLA path covers r>6
@@ -118,26 +119,50 @@ def _magic_vec(count_vec: jnp.ndarray, r: int) -> jnp.ndarray:
     return m.astype(jnp.uint32)
 
 
-def _fill_band(band_ref, r: int, blk: int):
-    """Banded column-sum matrix: band[out, in] = [in in out+8-r .. out+8+r]."""
-    o = jax.lax.broadcasted_iota(jnp.int32, (blk, blk + 16), 0)
-    i_in = jax.lax.broadcasted_iota(jnp.int32, (blk, blk + 16), 1)
-    band_ref[:] = ((i_in >= o + 8 - r) & (i_in <= o + 8 + r)).astype(jnp.bfloat16)
+def _fill_band(band_ref, r: int, blk: int, hr: int = 8):
+    """Banded column-sum matrix: band[out, in] = [in in out+hr-r .. out+hr+r]."""
+    o = jax.lax.broadcasted_iota(jnp.int32, (blk, blk + 2 * hr), 0)
+    i_in = jax.lax.broadcasted_iota(jnp.int32, (blk, blk + 2 * hr), 1)
+    band_ref[:] = ((i_in >= o + hr - r) & (i_in <= o + hr + r)).astype(jnp.bfloat16)
 
 
-def _blur_block(x_ref, top_ref, bot_ref, band_ref, j, nb, *, r: int, h: int,
-                w: int, blk: int):
+def _fixup_div(n: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """Exact floor(n/d) for non-negative int32 with n < 2**24: f32 divide
+    (absolute error << 1 for these magnitudes) then a +-1 integer fixup —
+    covers the r > 6 counts for which no exact uint32 magic pair exists."""
+    est = (n.astype(jnp.float32) / d.astype(jnp.float32)).astype(jnp.int32)
+    est = est - (est * d > n).astype(jnp.int32)
+    return est + ((est + 1) * d <= n).astype(jnp.int32)
+
+
+def _gather_rows(x_ref, halo_refs, j, nb, *, nv: int, blk: int):
+    """(blk + 16*nv, w) int32: nv 8-row halo views above + block + nv below.
+
+    Halos are 8-row views of the SAME input at the neighbor blocks (index
+    maps clamp at the frame edges; the clamped fetch is masked to the zeros
+    the clipped-count division expects) — a pre-gathered halo tensor cost an
+    extra full-frame HBM pass per kernel to build (r2 design, rejected).
+    """
+    b8 = blk // 8
+    n8 = nb * b8
+    parts = []
+    for idx, k in enumerate(range(nv, 0, -1)):
+        parts.append(jnp.where(j * b8 >= k, halo_refs[idx][0].astype(jnp.int32), 0))
+    parts.append(x_ref[0].astype(jnp.int32))
+    for k in range(1, nv + 1):
+        parts.append(jnp.where((j + 1) * b8 + k <= n8,
+                               halo_refs[nv + k - 1][0].astype(jnp.int32), 0))
+    return jnp.concatenate(parts, axis=0)
+
+
+def _blur_block(x_ref, halo_refs, band_ref, j, nb, *, r: int, h: int,
+                w: int, blk: int, nv: int = 1):
     """Clipped-window box mean of one (blk, w) block, exact int32 0..255.
 
-    (blk+16, w): 8 halo rows + block + 8 halo rows, all 8-aligned.  Halos
-    are 8-row views of the SAME input at the neighbor blocks (index maps
-    clamp at the frame edges; the clamped fetch is masked to the zeros the
-    clipped-count division expects) — the r2 pre-gathered halo tensor cost
-    an extra full-frame HBM pass per kernel to build.
-    """
-    top = jnp.where(j > 0, top_ref[0].astype(jnp.int32), 0)
-    bot = jnp.where(j < nb - 1, bot_ref[0].astype(jnp.int32), 0)
-    rows = jnp.concatenate([top, x_ref[0].astype(jnp.int32), bot], axis=0)
+    Vertical window sums ride a banded bf16 matmul over the halo-extended
+    rows; the clipped division is exact magic multipliers for r <= 6 and
+    f32-divide-with-fixup beyond (counts < 2**24 stay f32-exact)."""
+    rows = _gather_rows(x_ref, halo_refs, j, nb, nv=nv, blk=blk)
     xb = rows.astype(jnp.bfloat16)
     cs_col = jax.lax.dot_general(
         band_ref[:], xb, (((1,), (0,)), ((), ())),
@@ -149,15 +174,18 @@ def _blur_block(x_ref, top_ref, bot_ref, band_ref, j, nb, *, r: int, h: int,
     cs_n = px[:, 0:w]
     for k in range(1, 2 * r + 1):
         cs_n = cs_n + px[:, k : k + w]
-    cs = cs_n.astype(jnp.int32).astype(jnp.uint32)  # products wrap-free in u32
 
     y0 = j * blk
     ii = jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0) + y0
     jjv = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
     cyv = jnp.minimum(ii + r, h - 1) - jnp.maximum(ii - r, 0) + 1
     cxv = jnp.minimum(jjv + r, w - 1) - jnp.maximum(jjv - r, 0) + 1
-    return ((((cs * _magic_vec(cyv, r)) >> _MAGIC_SHIFT)
-             * _magic_vec(cxv, r)) >> _MAGIC_SHIFT).astype(jnp.int32)
+    if r <= _MAX_RADIUS:
+        cs = cs_n.astype(jnp.int32).astype(jnp.uint32)  # products wrap-free in u32
+        return ((((cs * _magic_vec(cyv, r)) >> _MAGIC_SHIFT)
+                 * _magic_vec(cxv, r)) >> _MAGIC_SHIFT).astype(jnp.int32)
+    cs = cs_n.astype(jnp.int32)
+    return _fixup_div(_fixup_div(cs, cyv), cxv)
 
 
 def _blur_hist_kernel(x_ref, top_ref, bot_ref, blur_ref, hist_ref, acc_ref,
@@ -170,7 +198,7 @@ def _blur_hist_kernel(x_ref, top_ref, bot_ref, blur_ref, hist_ref, acc_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
         _fill_band(band_ref, r, blk)
 
-    blurred = _blur_block(x_ref, top_ref, bot_ref, band_ref, j, nb,
+    blurred = _blur_block(x_ref, (top_ref, bot_ref), band_ref, j, nb,
                           r=r, h=h, w=w, blk=blk)
     blur_ref[0] = blurred.astype(jnp.uint8)
 
@@ -261,35 +289,59 @@ def fused_blur_hist(imgs: jnp.ndarray, radius: int = 2):
     return blurred, hist.reshape(n, 256)
 
 
-def _blur_only_kernel(x_ref, top_ref, bot_ref, blur_ref, band_ref, *,
-                      r: int, h: int, w: int, blk: int):
+def _blur_only_kernel(x_ref, *rest, r: int, h: int, w: int, blk: int, nv: int):
+    halo_refs, (blur_ref, band_ref) = rest[: 2 * nv], rest[2 * nv :]
     j = pl.program_id(1)
     nb = pl.num_programs(1)
 
     @pl.when(j == 0)
     def _():
-        _fill_band(band_ref, r, blk)
+        _fill_band(band_ref, r, blk, hr=8 * nv)
 
-    blurred = _blur_block(x_ref, top_ref, bot_ref, band_ref, j, nb,
-                          r=r, h=h, w=w, blk=blk)
+    blurred = _blur_block(x_ref, halo_refs, band_ref, j, nb,
+                          r=r, h=h, w=w, blk=blk, nv=nv)
     blur_ref[0] = blurred.astype(jnp.uint8)
 
 
-def _adaptive_kernel(c_ref, x_ref, top_ref, bot_ref, out_ref, band_ref, *,
-                     r: int, h: int, w: int, blk: int):
+def _adaptive_kernel(c_ref, x_ref, *rest, r: int, h: int, w: int, blk: int,
+                     nv: int):
+    halo_refs, (out_ref, band_ref) = rest[: 2 * nv], rest[2 * nv :]
     j = pl.program_id(1)
     nb = pl.num_programs(1)
 
     @pl.when(j == 0)
     def _():
-        _fill_band(band_ref, r, blk)
+        _fill_band(band_ref, r, blk, hr=8 * nv)
 
-    mean = _blur_block(x_ref, top_ref, bot_ref, band_ref, j, nb,
-                       r=r, h=h, w=w, blk=blk)
+    mean = _blur_block(x_ref, halo_refs, band_ref, j, nb,
+                       r=r, h=h, w=w, blk=blk, nv=nv)
     # src > mean - c  ->  255 : 0, compare-free (sign-bit select)
     thr = mean - c_ref[0]
     src = x_ref[0].astype(jnp.int32)
     out_ref[0] = (((thr - src) >> 31) & 255).astype(jnp.uint8)
+
+
+def _halo_specs_multi(blk: int, h: int, w: int, nv: int):
+    """nv 8-row neighbor views per side, ordered top (furthest first) then
+    bottom; index maps clamp at the frame edges (kernels mask the clamped
+    fetch to zero)."""
+    b8 = blk // 8
+    n8 = h // 8
+    specs = []
+    for k in range(nv, 0, -1):
+        specs.append(pl.BlockSpec(
+            (1, 8, w), lambda i, j, k=k: (i, jnp.maximum(j * b8 - k, 0), 0),
+            memory_space=pltpu.VMEM))
+    for k in range(1, nv + 1):
+        specs.append(pl.BlockSpec(
+            (1, 8, w),
+            lambda i, j, k=k: (i, jnp.minimum((j + 1) * b8 + k - 1, n8 - 1), 0),
+            memory_space=pltpu.VMEM))
+    return specs
+
+
+def _n_halo_views(r: int) -> int:
+    return max(1, -(-r // 8))  # 8*ceil(r/8) halo rows per side
 
 
 @functools.partial(jax.jit, static_argnames=("radius",))
@@ -302,20 +354,20 @@ def blur_pallas(imgs: jnp.ndarray, radius: int) -> jnp.ndarray:
     r = int(radius)
     blk = _pick_block(h, w)
     nb = h // blk
-    top_spec, bot_spec = _halo_specs(blk, h, w)
+    nv = _n_halo_views(r)
+    halo_specs = _halo_specs_multi(blk, h, w, nv)
     return pl.pallas_call(
-        functools.partial(_blur_only_kernel, r=r, h=h, w=w, blk=blk),
+        functools.partial(_blur_only_kernel, r=r, h=h, w=w, blk=blk, nv=nv),
         grid=(n, nb),
         in_specs=[
             pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            top_spec,
-            bot_spec,
+            *halo_specs,
         ],
         out_specs=pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.uint8),
-        scratch_shapes=[pltpu.VMEM((blk, blk + 16), jnp.bfloat16)],
-    )(imgs, imgs, imgs)
+        scratch_shapes=[pltpu.VMEM((blk, blk + 16 * nv), jnp.bfloat16)],
+    )(imgs, *([imgs] * (2 * nv)))
 
 
 @functools.partial(jax.jit, static_argnames=("radius",))
@@ -327,13 +379,59 @@ def adaptive_pallas(imgs: jnp.ndarray, radius: int, c) -> jnp.ndarray:
     r = int(radius)
     blk = _pick_block(h, w)
     nb = h // blk
-    top_spec, bot_spec = _halo_specs(blk, h, w)
+    nv = _n_halo_views(r)
+    halo_specs = _halo_specs_multi(blk, h, w, nv)
     cv = jnp.asarray(c, jnp.int32).reshape(1)
     return pl.pallas_call(
-        functools.partial(_adaptive_kernel, r=r, h=h, w=w, blk=blk),
+        functools.partial(_adaptive_kernel, r=r, h=h, w=w, blk=blk, nv=nv),
         grid=(n, nb),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            *halo_specs,
+        ],
+        out_specs=pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((blk, blk + 16 * nv), jnp.bfloat16)],
+    )(cv, imgs, *([imgs] * (2 * nv)))
+
+
+def _sobel_kernel(x_ref, top_ref, bot_ref, out_ref, *, h: int, w: int, blk: int):
+    """Sobel magnitude on raw uint8 — the fused kernel2's separable scheme
+    ([1,2,1] column pass + lane diff, [1,2,1] lane pass + sublane diff; 4
+    lane relayouts vs the direct 3x3's 6) without the binary factorization:
+    gx/gy reach +-1020 so the arithmetic stays int32 end to end."""
+    j = pl.program_id(1)
+    nb = pl.num_programs(1)
+    top = jnp.where(j > 0, top_ref[0, 7:8, :].astype(jnp.int32), 0)
+    bot = jnp.where(j < nb - 1, bot_ref[0, 0:1, :].astype(jnp.int32), 0)
+    rows = jnp.concatenate([top, x_ref[0].astype(jnp.int32), bot], axis=0)
+    pb = jnp.pad(rows, ((0, 0), (1, 1)))  # (blk+2, w+2)
+    sv = pb[0:blk, :] + (pb[1 : 1 + blk, :] << 1) + pb[2 : 2 + blk, :]
+    gx = sv[:, 2 : 2 + w] - sv[:, 0:w]
+    tv = pb[:, 0:w] + (pb[:, 1 : 1 + w] << 1) + pb[:, 2 : 2 + w]
+    gy = tv[2 : 2 + blk, :] - tv[0:blk, :]
+    mag = jnp.minimum((jnp.abs(gx) + jnp.abs(gy)) >> 1, 255)
+    y0 = j * blk
+    ii = jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0) + y0
+    jj = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    interior = ((ii >= 1) & (ii < h - 1)) & ((jj >= 1) & (jj < w - 1))
+    out_ref[0] = jnp.where(interior, mag, 0).astype(jnp.uint8)
+
+
+@jax.jit
+def sobel_pallas(imgs: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, W) uint8 -> interior Sobel magnitude ``(|gx|+|gy|)/2`` clipped
+    to 255, zero border — bit-exact ``gs_sobel`` (grayskull.h:306-320)."""
+    n, h, w = imgs.shape
+    blk = _pick_block(h, w)
+    nb = h // blk
+    top_spec, bot_spec = _halo_specs(blk, h, w)
+    return pl.pallas_call(
+        functools.partial(_sobel_kernel, h=h, w=w, blk=blk),
+        grid=(n, nb),
+        in_specs=[
             pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             top_spec,
             bot_spec,
@@ -341,8 +439,48 @@ def adaptive_pallas(imgs: jnp.ndarray, radius: int, c) -> jnp.ndarray:
         out_specs=pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.uint8),
-        scratch_shapes=[pltpu.VMEM((blk, blk + 16), jnp.bfloat16)],
-    )(cv, imgs, imgs, imgs)
+    )(imgs, imgs, imgs)
+
+
+def _morph_kernel(x_ref, top_ref, bot_ref, out_ref, *, op: str, w: int,
+                  blk: int):
+    """3x3 clipped-window min/max — ``gs_erode``/``gs_dilate``
+    (grayskull.h:286-304).  Separable: sublane pass then lane pass, with the
+    op-neutral value (255 for min, 0 for max) standing in for out-of-frame
+    neighbors, exactly like the XLA ``reduce_window`` padding."""
+    j = pl.program_id(1)
+    nb = pl.num_programs(1)
+    neutral = 255 if op == "erode" else 0
+    f = jnp.minimum if op == "erode" else jnp.maximum
+    top = jnp.where(j > 0, top_ref[0, 7:8, :].astype(jnp.int32), neutral)
+    bot = jnp.where(j < nb - 1, bot_ref[0, 0:1, :].astype(jnp.int32), neutral)
+    rows = jnp.concatenate([top, x_ref[0].astype(jnp.int32), bot], axis=0)
+    sv = f(f(rows[0:blk, :], rows[1 : 1 + blk, :]), rows[2 : 2 + blk, :])
+    pb = jnp.pad(sv, ((0, 0), (1, 1)), constant_values=neutral)
+    out = f(f(pb[:, 0:w], pb[:, 1 : 1 + w]), pb[:, 2 : 2 + w])
+    out_ref[0] = out.astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("op",))
+def morph_pallas(imgs: jnp.ndarray, op: str) -> jnp.ndarray:
+    """(N, H, W) uint8 -> 3x3 clipped erode/dilate, bit-exact vs the XLA
+    ``reduce_window`` path (which costs a full-frame int32 round trip)."""
+    n, h, w = imgs.shape
+    blk = _pick_block(h, w)
+    nb = h // blk
+    top_spec, bot_spec = _halo_specs(blk, h, w)
+    return pl.pallas_call(
+        functools.partial(_morph_kernel, op=op, w=w, blk=blk),
+        grid=(n, nb),
+        in_specs=[
+            pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            top_spec,
+            bot_spec,
+        ],
+        out_specs=pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.uint8),
+    )(imgs, imgs, imgs)
 
 
 def _threshold_sobel_kernel(t_ref, x_ref, top_ref, bot_ref, *out_refs,
@@ -425,19 +563,24 @@ def preproc_available(h: int, w: int, radius: int = 2) -> bool:
     """Whether the grid-blocked fused kernels handle this frame geometry."""
     return (
         stencil_available(h, w, radius)
+        and radius <= _MAX_RADIUS
         and w % 128 == 0
         and w >= 128
     )
 
 
-def stencil_available(h: int, w: int, radius: int) -> bool:
-    """Geometry gate for the standalone blur/adaptive kernels.  Unlike the
-    fused pair these need no 128-divisible width: every block spans the full
-    array width, and a lane dim that spans the array is a legal Mosaic
-    BlockSpec (verified bit-exact at 816x612 on v5e)."""
+_MAX_RADIUS_STENCIL = 32  # 4 halo views/side; counts stay f32-exact (< 2^24)
+
+
+def stencil_available(h: int, w: int, radius: int = 1) -> bool:
+    """Geometry gate for the standalone blur/adaptive/sobel kernels.  Unlike
+    the fused pair these need no 128-divisible width: every block spans the
+    full array width, and a lane dim that spans the array is a legal Mosaic
+    BlockSpec (verified bit-exact at 816x612 on v5e).  Radii past the exact
+    magic-division range run the f32-fixup division (``_fixup_div``)."""
     return (
         _pick_block(h, w) >= 8
         and w >= 8
-        and 1 <= radius <= _MAX_RADIUS
+        and 1 <= radius <= _MAX_RADIUS_STENCIL
         and h * w <= 16 * 1024 * 1024
     )

@@ -263,23 +263,28 @@ def _blur_small(img: jnp.ndarray, r: int) -> jnp.ndarray:
     return _div_by_axis_counts(colsum, h, w, r, smax).astype(jnp.uint8)
 
 
-def _stencil_pallas_or_none(which: str, img, r: int, c=None):
-    """Route ``blur``/``adaptive_threshold`` through the Pallas clipped-window
-    kernels (kernels/preproc.py) when on TPU and the geometry qualifies; the
-    standalone XLA paths pay several full-frame f32/int32 intermediates while
-    the kernels stream uint8 row blocks once (bit-exact either way).  Returns
-    None to fall through to the XLA path."""
+def _stencil_pallas_or_none(which: str, img, r: int = 1, c=None):
+    """Route ``blur``/``adaptive_threshold``/``sobel``/``erode``/``dilate``
+    through the Pallas stencil kernels (kernels/preproc.py) when on TPU and
+    the geometry qualifies; the standalone XLA paths pay several full-frame
+    f32/int32 intermediates while the kernels stream uint8 row blocks once
+    (bit-exact either way).  Returns None to fall through to the XLA path."""
     h, w = img.shape[-2:]
-    from ..kernels.preproc import stencil_available
+    from ..kernels import preproc as kp
 
-    if not (_on_tpu() and img.dtype == jnp.uint8 and stencil_available(h, w, r)):
+    if not (_on_tpu() and img.dtype == jnp.uint8
+            and kp.stencil_available(h, w, r)):
         return None
-    from ..kernels.preproc import adaptive_pallas, blur_pallas
-
     lead = img.shape[:-2]
     iib = img.reshape((-1, h, w))
-    out = (blur_pallas(iib, r) if which == "blur"
-           else adaptive_pallas(iib, r, c))
+    if which == "blur":
+        out = kp.blur_pallas(iib, r)
+    elif which == "adaptive":
+        out = kp.adaptive_pallas(iib, r, c)
+    elif which == "sobel":
+        out = kp.sobel_pallas(iib)
+    else:
+        out = kp.morph_pallas(iib, which)
     return out.reshape(lead + (h, w))
 
 
@@ -427,12 +432,18 @@ def _morph(img: jnp.ndarray, op: str) -> jnp.ndarray:
 @jax.jit
 def erode(img: jnp.ndarray) -> jnp.ndarray:
     """3x3 min filter with clipped borders — ``gs_erode`` (grayskull.h:286-303)."""
+    out = _stencil_pallas_or_none("erode", img)
+    if out is not None:
+        return out
     return _morph(img, "erode")
 
 
 @jax.jit
 def dilate(img: jnp.ndarray) -> jnp.ndarray:
     """3x3 max filter with clipped borders — ``gs_dilate`` (grayskull.h:286-304)."""
+    out = _stencil_pallas_or_none("dilate", img)
+    if out is not None:
+        return out
     return _morph(img, "dilate")
 
 
@@ -446,6 +457,9 @@ def sobel(img: jnp.ndarray) -> jnp.ndarray:
     """Sobel magnitude ``(|gx|+|gy|)/2`` on the interior — ``gs_sobel``
     (grayskull.h:306-320).  The 1-px border is 0 (the reference leaves the
     caller's dst untouched there; callers pass zeroed buffers)."""
+    out = _stencil_pallas_or_none("sobel", img)
+    if out is not None:
+        return out
     x = img.astype(jnp.int32)
 
     def sh(dy, dx):

@@ -96,17 +96,50 @@ def test_blur_adaptive_pallas_match_oracle(oracle, rng):
     ref_odd = oracle.blur(imgs_odd[0], 2)
     np.testing.assert_array_equal(
         np.asarray(blur_pallas(jnp.asarray(imgs_odd), 2))[0], ref_odd)
-    for r in (1, 2, 5, 6):
+    # r <= 6 exercises the exact-magic division, r > 6 the f32-fixup
+    # division and the multi-view (16/24-row) halos
+    for r in (1, 2, 5, 6, 7, 16):
         got = np.asarray(blur_pallas(jb, r))
         via_op = np.asarray(gs.blur(jb, r))
         for i in range(2):
             ref = oracle.blur(imgs[i], r)
             np.testing.assert_array_equal(got[i], ref, err_msg=f"blur r={r}")
             np.testing.assert_array_equal(via_op[i], ref)
-    for r, c in ((1, 0), (2, 5), (6, -3), (3, 7)):
+    for r, c in ((1, 0), (2, 5), (6, -3), (15, 7)):
         got = np.asarray(adaptive_pallas(jb, r, c))
         via_op = np.asarray(gs.adaptive_threshold(jb, r, c))
         for i in range(2):
             ref = oracle.adaptive_threshold(imgs[i], r, c)
             np.testing.assert_array_equal(got[i], ref, err_msg=f"adaptive r={r} c={c}")
             np.testing.assert_array_equal(via_op[i], ref)
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(not _tpu_default(), reason="pallas kernels need TPU as default device")
+def test_sobel_morph_pallas_match_oracle(oracle, rng):
+    """The sobel/erode/dilate Pallas stencils (and their gs.* dispatch on
+    TPU) are bit-exact vs the C oracle, including the receipt pipeline's
+    erode(dilate(adaptive)) composition."""
+    import jax.numpy as jnp
+
+    from grayskull_tpu.kernels.preproc import morph_pallas, sobel_pallas
+
+    imgs = rng.integers(0, 256, (2, 128, 256), dtype=np.uint8)
+    jb = jnp.asarray(imgs)
+    got_s = np.asarray(sobel_pallas(jb))
+    via_s = np.asarray(gs.sobel(jb))
+    got_e = np.asarray(morph_pallas(jb, "erode"))
+    via_e = np.asarray(gs.erode(jb))
+    got_d = np.asarray(morph_pallas(jb, "dilate"))
+    via_d = np.asarray(gs.dilate(jb))
+    for i in range(2):
+        np.testing.assert_array_equal(got_s[i], oracle.sobel(imgs[i]))
+        np.testing.assert_array_equal(via_s[i], oracle.sobel(imgs[i]))
+        np.testing.assert_array_equal(got_e[i], oracle.erode(imgs[i]))
+        np.testing.assert_array_equal(via_e[i], oracle.erode(imgs[i]))
+        np.testing.assert_array_equal(got_d[i], oracle.dilate(imgs[i]))
+        np.testing.assert_array_equal(via_d[i], oracle.dilate(imgs[i]))
+    chain = np.asarray(gs.erode(gs.dilate(gs.adaptive_threshold(jb, 15, 5))))
+    for i in range(2):
+        ref = oracle.erode(oracle.dilate(oracle.adaptive_threshold(imgs[i], 15, 5)))
+        np.testing.assert_array_equal(chain[i], ref)
