@@ -1,0 +1,313 @@
+"""Experiment: split the LBP cascade across sequential kernel passes so the
+window strip can grow from th=16 to th=32.
+
+Hypothesis (PERF_NOTES "LBP relayout-bound"): the kernel's cost is
+(number of strips) x (weaks) x (~fixed lane-relayout cost per tall slice),
+and th is pinned to 16 by the VMEM estimate's `135 * th * tw * 4` live-
+temporary term — which counts the FULL unrolled 139-weak chain.  Splitting
+the 20 stages into two ~70-weak chunks should halve the live temporaries,
+let th=32 fit, halve the strip count, and so halve the dominant per-slice
+cost.  The chunks chain through the alive mask (stage sums never cross
+stages, grayskull.h:790-813).
+
+Variants measured (640x480, batch 32, scale 1.0, step 1):
+  A. baseline `kernels.lbp.lbp_eval_scale` (th picked by the shipping gate)
+  B. two pallas_calls, chunked stages, th=32 (alive handed off through HBM)
+  C. one pallas_call, 4th innermost grid dim = chunk, th=32 (planes stay
+     VMEM-resident across chunks; tests whether Mosaic's scoped allocator
+     treats pl.when regions as exclusive)
+  D. two pallas_calls at th=16 (isolates the split overhead itself)
+
+Run:  PYTHONPATH=/root/repo:/root/.axon_site python exp/exp_lbp_split.py
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from grayskull_tpu.kernels.lbp import _pick_tw, _round
+from grayskull_tpu.ops.lbp import _scaled_features, _subset_matrix
+
+_BLOCK_BITS = (7, 6, 5, 0, -1, 4, 1, 2, 3)
+
+
+def _plan_chunk(cascade, scale, tw, th, step, k_lo, k_hi):
+    """kernels.lbp._plan restricted to weaks [k_lo, k_hi)."""
+    fx, fy, fw, fh = _scaled_features(cascade, scale)
+    wi = cascade.weak_feature_idx.astype(np.int32)
+    map_dims = {}
+    phases_used = set()
+    for k in range(k_lo, k_hi):
+        f = int(wi[k])
+        w_, h_ = int(fw[f]), int(fh[f])
+        for bi in range(3):
+            ox = int(fx[f]) + bi * w_
+            for bj in range(3):
+                oy = int(fy[f]) + bj * h_
+                key = (w_, h_, oy % step, ox % step)
+                mh = oy // step + th
+                mw = ox // step + tw
+                old = map_dims.get(key, (0, 0))
+                map_dims[key] = (max(old[0], mh), max(old[1], mw))
+                py, px = oy % step, ox % step
+                for dy, dx in ((0, 0), (0, w_), (h_, 0), (h_, w_)):
+                    phases_used.add(((py + dy) % step) * step + ((px + dx) % step))
+    rh = max((py + h_) // step + mh
+             for (w_, h_, py, px), (mh, mw) in map_dims.items()) + 1
+    rw = max((px + w_) // step + mw
+             for (w_, h_, py, px), (mh, mw) in map_dims.items()) + 1
+    subs, counts = _subset_matrix(cascade)
+    return dict(fx=fx, fy=fy, fw=fw, fh=fh, wi=wi, subs=subs,
+                lefts=np.asarray(cascade.weak_left_val, np.float32),
+                rights=np.asarray(cascade.weak_right_val, np.float32),
+                map_dims=map_dims, phases_used=tuple(sorted(phases_used)),
+                rh=_round(rh, 8), rw=_round(rw, 128))
+
+
+def _eval_chunk(ii_ref, alive, geo, cascade, stages, ny, nx, th, tw, step, ty, tx):
+    regions = {
+        p: ii_ref[0, p, pl.ds(ty * th, geo["rh"]), pl.ds(tx * tw, geo["rw"])]
+        for p in geo["phases_used"]
+    }
+    maps = {}
+    for (w_, h_, py, px), (mh, mw) in geo["map_dims"].items():
+        def corner(dy, dx):
+            cy, cx = py + dy, px + dx
+            r = regions[(cy % step) * step + (cx % step)]
+            sy, sx = cy // step, cx // step
+            return r[sy : sy + mh, sx : sx + mw]
+
+        maps[(w_, h_, py, px)] = (
+            corner(h_, w_) + corner(0, 0) - corner(0, w_) - corner(h_, 0)
+        )
+
+    fx, fy, fw, fh, wi = geo["fx"], geo["fy"], geo["fw"], geo["fh"], geo["wi"]
+    subs = geo["subs"]
+    lefts, rights = geo["lefts"], geo["rights"]
+
+    def eval_weak(k):
+        f = int(wi[k])
+        w_, h_ = int(fw[f]), int(fh[f])
+        oy0, ox0 = int(fy[f]), int(fx[f])
+        blocks = {}
+        for bi in range(3):
+            ox = ox0 + bi * w_
+            px = ox % step
+            by_phase = {}
+            for bj in range(3):
+                oy = oy0 + bj * h_
+                by_phase.setdefault(oy % step, []).append((bj, oy // step))
+            for py, rows_list in by_phase.items():
+                m = maps[(w_, h_, py, px)]
+                sy_min = min(s for _, s in rows_list)
+                tall = m[sy_min : sy_min + (max(s for _, s in rows_list) - sy_min) + th,
+                         ox // step : ox // step + tw]
+                for bj, sy in rows_list:
+                    blocks[(bj, bi)] = tall[sy - sy_min : sy - sy_min + th, :]
+        center = blocks[(1, 1)]
+        code = jnp.zeros((th, tw), jnp.int32)
+        for blk, bit in enumerate(_BLOCK_BITS):
+            if bit < 0:
+                continue
+            c = (blocks[(blk // 3, blk % 3)] >= center).astype(jnp.int32)
+            code = code | (c << int(bit))
+        idx = code >> 5
+        bit_i = code & 31
+        s = [jnp.int32(int(subs[k, jj])) for jj in range(8)]
+        b0, b1, b2 = (idx & 1) != 0, (idx & 2) != 0, (idx & 4) != 0
+        w01 = jnp.where(b0, s[1], s[0])
+        w23 = jnp.where(b0, s[3], s[2])
+        w45 = jnp.where(b0, s[5], s[4])
+        w67 = jnp.where(b0, s[7], s[6])
+        word = jnp.where(b2, jnp.where(b1, w67, w45), jnp.where(b1, w23, w01))
+        match = ((word >> bit_i) & 1) == 1
+        return jnp.where(match, jnp.float32(float(lefts[k])),
+                         jnp.float32(float(rights[k])))
+
+    for si in stages:
+        s0 = int(cascade.stage_weak_start[si])
+        cnt = int(cascade.stage_nweaks[si])
+        ssum = eval_weak(s0)
+        for k in range(1, cnt):
+            ssum = ssum + eval_weak(s0 + k)
+        passed = ssum >= jnp.float32(float(cascade.stage_threshold[si]))
+        alive = alive & passed.astype(jnp.int32)
+    return alive
+
+
+def _chunk_kernel(ii_ref, *refs, cascade, ny, nx, geo, th, tw, step, stages,
+                  first):
+    if first:
+        (out_ref,) = refs
+    else:
+        alive_ref, out_ref = refs
+    ty, tx = pl.program_id(1), pl.program_id(2)
+    if first:
+        wy = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + ty * th
+        wx = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + tx * tw
+        alive = ((wy < ny) & (wx < nx)).astype(jnp.int32)
+    else:
+        alive = alive_ref[0].astype(jnp.int32)
+    alive = _eval_chunk(ii_ref, alive, geo, cascade, stages, ny, nx, th, tw,
+                        step, ty, tx)
+    out_ref[0] = alive.astype(jnp.uint8)
+
+
+def _fused_chunks_kernel(ii_ref, out_ref, *, cascade, ny, nx, geos, th, tw,
+                         step, stage_chunks):
+    ty, tx, c = pl.program_id(1), pl.program_id(2), pl.program_id(3)
+
+    @pl.when(c == 0)
+    def _():
+        wy = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + ty * th
+        wx = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + tx * tw
+        out_ref[0] = ((wy < ny) & (wx < nx)).astype(jnp.uint8)
+
+    for ci, (geo, stages) in enumerate(zip(geos, stage_chunks)):
+        @pl.when(c == ci)
+        def _(geo=geo, stages=stages):
+            alive = out_ref[0].astype(jnp.int32)
+            alive = _eval_chunk(ii_ref, alive, geo, cascade, stages, ny, nx,
+                                th, tw, step, ty, tx)
+            out_ref[0] = alive.astype(jnp.uint8)
+
+
+def _split_points(cascade, nchunks):
+    """Stage boundaries splitting total weak count ~evenly."""
+    total = int(cascade.nweaks)
+    bounds = [0]
+    acc = 0
+    target = total / nchunks
+    for si in range(cascade.nstages):
+        acc += int(cascade.stage_nweaks[si])
+        if acc >= target * len(bounds) and len(bounds) < nchunks:
+            bounds.append(si + 1)
+    bounds.append(cascade.nstages)
+    return bounds
+
+
+@functools.partial(jax.jit, static_argnames=("cascade", "scale", "ny", "nx",
+                                             "step", "th", "nchunks", "fused"))
+def eval_scale_split(cascade, iip, scale, ny, nx, step=1, th=32, nchunks=2,
+                     fused=False):
+    n = iip.shape[0]
+    tw = _pick_tw(nx)
+    nty, ntx = -(-ny // th), -(-nx // tw)
+    bounds = _split_points(cascade, nchunks)
+    chunks = []
+    for ci in range(nchunks):
+        s_lo, s_hi = bounds[ci], bounds[ci + 1]
+        k_lo = int(cascade.stage_weak_start[s_lo])
+        k_hi = (int(cascade.stage_weak_start[s_hi - 1])
+                + int(cascade.stage_nweaks[s_hi - 1]))
+        geo = _plan_chunk(cascade, scale, tw, th, step, k_lo, k_hi)
+        chunks.append((geo, tuple(range(s_lo, s_hi))))
+    Hp = max((nty - 1) * th + g["rh"] for g, _ in chunks)
+    Wp = max((ntx - 1) * tw + g["rw"] for g, _ in chunks)
+    assert iip.shape[1] >= Hp * step and iip.shape[2] >= Wp * step, (
+        iip.shape, Hp * step, Wp * step)
+    if step == 1:
+        planes = iip[:, None]
+    else:
+        need_h, need_w = Hp * step, Wp * step
+        planes = jnp.stack(
+            [iip[:, py:need_h:step, px:need_w:step]
+             for py in range(step) for px in range(step)], axis=1)
+
+    if fused:
+        out = pl.pallas_call(
+            functools.partial(_fused_chunks_kernel, cascade=cascade, ny=ny,
+                              nx=nx, geos=tuple(g for g, _ in chunks), th=th,
+                              tw=tw, step=step,
+                              stage_chunks=tuple(s for _, s in chunks)),
+            grid=(n, nty, ntx, nchunks),
+            in_specs=[pl.BlockSpec((1, step * step, Hp, Wp),
+                                   lambda i, j, k, c: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, th, tw), lambda i, j, k, c: (i, j, k),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, nty * th, ntx * tw), jnp.uint8),
+        )(planes)
+        return out[:, :ny, :nx] != 0
+
+    alive = None
+    for ci, (geo, stages) in enumerate(chunks):
+        first = ci == 0
+        in_specs = [pl.BlockSpec((1, step * step, Hp, Wp),
+                                 lambda i, j, k: (i, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)]
+        args = [planes]
+        if not first:
+            in_specs.append(pl.BlockSpec((1, th, tw), lambda i, j, k: (i, j, k),
+                                         memory_space=pltpu.VMEM))
+            args.append(alive)
+        alive = pl.pallas_call(
+            functools.partial(_chunk_kernel, cascade=cascade, ny=ny, nx=nx,
+                              geo=geo, th=th, tw=tw, step=step, stages=stages,
+                              first=first),
+            grid=(n, nty, ntx),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, th, tw), lambda i, j, k: (i, j, k),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, nty * th, ntx * tw), jnp.uint8),
+        )(*args)
+    return alive[:, :ny, :nx] != 0
+
+
+def main():
+    from grayskull_tpu.cascade import load_frontalface
+    from grayskull_tpu.kernels.lbp import lbp_eval_scale, lbp_pad_for
+    from grayskull_tpu.ops.integral import integral
+    from grayskull_tpu.profiling import timeit
+
+    cascade = load_frontalface()
+    nb, ih, iw = 32, 480, 640
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (nb, ih, iw), dtype=np.uint8)
+    iib = integral(jnp.asarray(imgs))
+    scale = 1.0
+    step = 1
+    ny = (ih - 24) // step + 1
+    nx = (iw - 24) // step + 1
+    ladder = [(scale, 24, 24)]
+    iip = lbp_pad_for(cascade, iib, ladder, ih, iw, step)
+    # shared pad must also cover the split variants' (possibly taller) strips
+    iip = jnp.pad(iip, ((0, 0), (0, 64), (0, 0)))
+
+    base = lbp_eval_scale(cascade, iip, scale, ny, nx, step)
+    base_np = np.asarray(base)
+    t_base = timeit(lambda: lbp_eval_scale(cascade, iip, scale, ny, nx, step),
+                    warmup=1, iters=10)
+    wps = nb * ny * nx / t_base
+    print(f"A baseline:        {t_base*1e3:8.2f} ms  {wps/1e6:7.1f} M win/s")
+
+    for name, kw in (
+        ("B split2 th=32", dict(th=32, nchunks=2, fused=False)),
+        ("C fused2 th=32", dict(th=32, nchunks=2, fused=True)),
+        ("D split2 th=16", dict(th=16, nchunks=2, fused=False)),
+        ("E split3 th=32", dict(th=32, nchunks=3, fused=False)),
+    ):
+        try:
+            got = eval_scale_split(cascade, iip, scale, ny, nx, step, **kw)
+            got_np = np.asarray(got)
+            ok = (got_np == base_np).all()
+            t = timeit(lambda: eval_scale_split(cascade, iip, scale, ny, nx,
+                                                step, **kw),
+                       warmup=1, iters=10)
+            wps = nb * ny * nx / t
+            print(f"{name}:   {t*1e3:8.2f} ms  {wps/1e6:7.1f} M win/s  "
+                  f"{'exact' if ok else 'MISMATCH'}")
+        except Exception as e:  # noqa: BLE001 — report compile/VMEM failures
+            print(f"{name}:   FAILED {type(e).__name__}: {str(e)[:200]}")
+        sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()

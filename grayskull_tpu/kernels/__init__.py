@@ -17,9 +17,9 @@ from .fast import fast_pallas, fast_pallas_available  # noqa: F401
 from .integral import integral_pallas, integral_pallas_available  # noqa: F401
 from .lbp import lbp_eval_scale, lbp_pad_for, lbp_pallas_available  # noqa: F401
 from .patches import extract_patches_batched, patches_pallas_available  # noqa: F401
-from .preproc import (adaptive_pallas, blur_pallas, fused_blur_hist,  # noqa: F401
-                      fused_threshold_sobel, morph_pallas, preproc_available,
-                      sobel_pallas, stencil_available)
+from .preproc import (adaptive_pallas, blur_pallas, filter3_pallas,  # noqa: F401
+                      fused_blur_hist, fused_threshold_sobel, morph_pallas,
+                      preproc_available, sobel_pallas, stencil_available)
 from .warp import quad_sample, quad_sample_available  # noqa: F401
 
 __all__ = [
@@ -42,6 +42,7 @@ __all__ = [
     "adaptive_pallas",
     "sobel_pallas",
     "morph_pallas",
+    "filter3_pallas",
     "quad_sample",
     "quad_sample_available",
 ]

@@ -52,7 +52,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["fused_blur_hist", "fused_threshold_sobel", "blur_pallas",
-           "adaptive_pallas", "sobel_pallas", "morph_pallas",
+           "adaptive_pallas", "sobel_pallas", "morph_pallas", "filter3_pallas",
            "preproc_available", "stencil_available"]
 
 _MAGIC_SHIFT = 19  # uint32 arithmetic: products stay < 2**32 through r=6
@@ -471,6 +471,112 @@ def morph_pallas(imgs: jnp.ndarray, op: str) -> jnp.ndarray:
     top_spec, bot_spec = _halo_specs(blk, h, w)
     return pl.pallas_call(
         functools.partial(_morph_kernel, op=op, w=w, blk=blk),
+        grid=(n, nb),
+        in_specs=[
+            pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            top_spec,
+            bot_spec,
+        ],
+        out_specs=pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.uint8),
+    )(imgs, imgs, imgs)
+
+
+def _rank1_taps(taps):
+    """Integer rank-1 factorization ``taps[j][i] == u[j] * v[i]`` if one
+    exists (box and gaussian presets are separable), else None."""
+    from fractions import Fraction
+
+    k = [[int(x) for x in row] for row in taps]
+    pivot = next((j for j in range(3) if any(k[j])), None)
+    if pivot is None:
+        return None
+    import math
+
+    g = math.gcd(math.gcd(abs(k[pivot][0]), abs(k[pivot][1])), abs(k[pivot][2]))
+    v = [x // g for x in k[pivot]]
+    i0 = next(i for i in range(3) if v[i])
+    u = []
+    for j in range(3):
+        c = Fraction(k[j][i0], v[i0])
+        if c.denominator != 1 or any(k[j][i] != c * v[i] for i in range(3)):
+            return None
+        u.append(int(c))
+    return tuple(u), tuple(v)
+
+
+def _filter3_kernel(x_ref, top_ref, bot_ref, out_ref, *, taps, norm: int,
+                    w: int, blk: int):
+    """Generic 3x3 correlation with zero-padded borders — ``gs_filter``
+    (grayskull.h:255-266).  Taps are static Python ints (the reference's
+    int8-reinterpreted kernel image), so zero taps compile away and the
+    weighted shifted adds stay int32 end to end.  C's ``int / unsigned``
+    promotion quirk: a negative sum with norm > 1 wraps to >= 2^32 - 291k
+    whose quotient always clamps to 255 (for any norm < ~16M), so the wrap
+    reduces to a sign test — no u32 arithmetic needed in-kernel."""
+    j = pl.program_id(1)
+    nb = pl.num_programs(1)
+    top = jnp.where(j > 0, top_ref[0, 7:8, :].astype(jnp.int32), 0)
+    bot = jnp.where(j < nb - 1, bot_ref[0, 0:1, :].astype(jnp.int32), 0)
+    rows = jnp.concatenate([top, x_ref[0].astype(jnp.int32), bot], axis=0)
+    uv = _rank1_taps(taps)
+    if uv is not None:
+        # separable rank-1 kernel (box/gaussian): sublane pass then lane
+        # pass — 2 lane relayouts instead of the direct form's up to 6
+        u, v = uv
+        sv = None
+        for dj in range(3):
+            if u[dj] == 0:
+                continue
+            t = rows[dj : dj + blk, :]
+            if u[dj] != 1:
+                t = t * u[dj]
+            sv = t if sv is None else sv + t
+        pb = jnp.pad(sv, ((0, 0), (1, 1)))
+        acc = None
+        for di in range(3):
+            if v[di] == 0:
+                continue
+            t = pb[:, di : di + w]
+            if v[di] != 1:
+                t = t * v[di]
+            acc = t if acc is None else acc + t
+    else:
+        pb = jnp.pad(rows, ((0, 0), (1, 1)))  # zero pad == gs_get OOB-read-0
+        acc = None
+        for dj in range(3):
+            for di in range(3):
+                wgt = taps[dj][di]
+                if wgt == 0:
+                    continue
+                t = pb[dj : dj + blk, di : di + w]
+                if wgt != 1:
+                    t = t * wgt
+                acc = t if acc is None else acc + t
+    if acc is None:
+        acc = jnp.zeros((blk, w), jnp.int32)
+    if norm == 1:
+        out = jnp.clip(acc, 0, 255)
+    else:
+        pos = jnp.minimum(_fixup_div(jnp.maximum(acc, 0), jnp.int32(norm)), 255)
+        out = jnp.where(acc < 0, 255, pos)
+    out_ref[0] = out.astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("taps", "norm"))
+def filter3_pallas(imgs: jnp.ndarray, taps, norm: int) -> jnp.ndarray:
+    """(N, H, W) uint8 + static 3x3 int taps -> ``gs_filter``, bit-exact vs
+    the XLA path in ``ops.pixel.filter2d`` (which pays ~4 full-frame int32
+    intermediates; this streams uint8 blocks once).  Covers the sharpen /
+    emboss / box / gaussian presets (grayskull.h:249-253)."""
+    n, h, w = imgs.shape
+    blk = _pick_block(h, w)
+    nb = h // blk
+    top_spec, bot_spec = _halo_specs(blk, h, w)
+    return pl.pallas_call(
+        functools.partial(_filter3_kernel, taps=taps, norm=int(norm), w=w,
+                          blk=blk),
         grid=(n, nb),
         in_specs=[
             pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),

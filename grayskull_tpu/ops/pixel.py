@@ -367,6 +367,14 @@ def filter2d(img: jnp.ndarray, kernel, norm: int) -> jnp.ndarray:
     if norm <= 0:
         raise ValueError("norm must be > 0")
     h, w = img.shape[-2:]
+    if (kh, kw) == (3, 3) and norm < 16_000_000 and img.dtype == jnp.uint8:
+        from ..kernels import preproc as kp
+
+        if _on_tpu() and kp.stencil_available(h, w):
+            taps = tuple(tuple(int(v) for v in row) for row in kernel)
+            lead = img.shape[:-2]
+            out = kp.filter3_pallas(img.reshape((-1, h, w)), taps, norm)
+            return out.reshape(lead + (h, w))
     src = img.astype(jnp.int32)
     # sample offsets: (x + i - kw/2, y + j - kh/2), OOB reads 0 (gs_get)
     pad_l, pad_r = kw // 2, kw - 1 - kw // 2

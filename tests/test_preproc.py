@@ -143,3 +143,26 @@ def test_sobel_morph_pallas_match_oracle(oracle, rng):
     for i in range(2):
         ref = oracle.erode(oracle.dilate(oracle.adaptive_threshold(imgs[i], 15, 5)))
         np.testing.assert_array_equal(chain[i], ref)
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(not _tpu_default(), reason="pallas kernels need TPU as default device")
+def test_filter_pallas_match_oracle(oracle, rng):
+    """filter3_pallas (all four presets plus a negative-sum kernel hitting
+    the C unsigned-division wrap) is bit-exact vs the C oracle through the
+    gs.filter2d dispatch."""
+    import jax.numpy as jnp
+
+    from grayskull_tpu.ops.pixel import (BLUR_BOX_KERNEL, BLUR_GAUSSIAN_KERNEL,
+                                         EMBOSS_KERNEL, SHARPEN_KERNEL)
+
+    imgs = rng.integers(0, 256, (2, 128, 200), dtype=np.uint8)
+    jb = jnp.asarray(imgs)
+    wrap = (np.array([[0, -3, 0], [-3, 2, -1], [0, -1, 0]], np.int8), 4)
+    for kern, norm in (SHARPEN_KERNEL, EMBOSS_KERNEL, BLUR_BOX_KERNEL,
+                       BLUR_GAUSSIAN_KERNEL, wrap):
+        got = np.asarray(gs.filter2d(jb, kern, norm))
+        for i in range(2):
+            np.testing.assert_array_equal(
+                got[i], oracle.filter(imgs[i], np.asarray(kern), norm),
+                err_msg=f"filter norm={norm}")
