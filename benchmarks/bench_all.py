@@ -211,6 +211,7 @@ def main():
     for name, fn, bpf in [
         ("blur_r2", lambda x: gs.blur(x, 2), 2 * MP),
         ("sobel", gs.sobel, 2 * MP),
+        ("gaussian3", gs.blur_gaussian, 2 * MP),
         ("histogram", gs.histogram, 1 * MP),
         ("integral", gs.integral, 5 * MP),
         ("otsu", gs.otsu_threshold, 1 * MP),
