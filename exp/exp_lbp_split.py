@@ -19,6 +19,24 @@ Variants measured (640x480, batch 32, scale 1.0, step 1):
   D. two pallas_calls at th=16 (isolates the split overhead itself)
 
 Run:  PYTHONPATH=/root/repo:/root/.axon_site python exp/exp_lbp_split.py
+      (--r2: optimization_barrier variants, --r3: pl.when region variants)
+
+MEASURED VERDICTS (v5e, batch 32, 640x480, scale 1.0, step 1; all exact):
+  A baseline th=16 single:   39.9 ms  226 M win/s
+  B split2 th=32:            34.5 ms  262 M win/s   << WINNER, shipped
+  C fused2 th=32 (grid dim): 53.2 ms  170 M win/s   (block revisit + when)
+  D split2 th=16:            51.1 ms  177 M win/s   (split overhead alone)
+  E split3 th=32:            37.9 ms  238 M win/s
+  F-I optimization_barrier:  does not lower in Mosaic (NotImplementedError)
+  J th=32 per-stage pl.when region + VMEM-scratch alive: 67.2 ms 134 M win/s
+  K as J, 2 stages/region:   54.8 ms  165 M win/s
+  L th=64 per-stage regions: 52.0 ms  173 M win/s
+Reading: th=32 alone is worth +48% over th=16 (D vs B) but costs double map
+construction + an extra launch (A vs D = -22%); net +16-20% for B.  Region
+scoping to cap the allocator's live set instead of splitting made things
+WORSE — Mosaic regions serialize and pay entry/exit per region (consistent
+with the exp_merged.py phase-region finding).  B is integrated in
+kernels/lbp.py (_padded_dims candidates (32,1)/(32,2)/(16,1)/(8,1)).
 """
 
 from __future__ import annotations
@@ -309,5 +327,195 @@ def main():
         sys.stdout.flush()
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--r2" not in sys.argv and "--r3" not in sys.argv:
     main()
+
+
+# --- round 2: single kernel + per-stage optimization_barrier ---------------
+# B showed th=32 is worth +48% but the 2-call split eats 2/3 of it (double
+# map construction + extra launch + alive round trip).  If the 135-live
+# VMEM estimate comes from Mosaic software-pipelining weak temporaries
+# ACROSS stages, an identity optimization_barrier on the stage boundary
+# should cap the live set near one stage's weaks and let th=32 compile as a
+# single kernel.
+
+def _barrier_kernel(ii_ref, out_ref, *, cascade, ny, nx, geo, th, tw, step,
+                    every: int):
+    ty, tx = pl.program_id(1), pl.program_id(2)
+    wy = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + ty * th
+    wx = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + tx * tw
+    alive = ((wy < ny) & (wx < nx)).astype(jnp.int32)
+    stages = tuple(range(cascade.nstages))
+    for group in range(0, len(stages), every):
+        alive = _eval_chunk(ii_ref, alive, geo, cascade,
+                            stages[group : group + every], ny, nx, th, tw,
+                            step, ty, tx)
+        alive = jax.lax.optimization_barrier(alive)
+    out_ref[0] = alive.astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("cascade", "scale", "ny", "nx",
+                                             "step", "th", "every"))
+def eval_scale_barrier(cascade, iip, scale, ny, nx, step=1, th=32, every=1):
+    n = iip.shape[0]
+    tw = _pick_tw(nx)
+    nty, ntx = -(-ny // th), -(-nx // tw)
+    geo = _plan_chunk(cascade, scale, tw, th, step, 0, int(cascade.nweaks))
+    Hp = (nty - 1) * th + geo["rh"]
+    Wp = (ntx - 1) * tw + geo["rw"]
+    assert iip.shape[1] >= Hp * step and iip.shape[2] >= Wp * step
+    planes = iip[:, None] if step == 1 else None
+    out = pl.pallas_call(
+        functools.partial(_barrier_kernel, cascade=cascade, ny=ny, nx=nx,
+                          geo=geo, th=th, tw=tw, step=step, every=every),
+        grid=(n, nty, ntx),
+        in_specs=[pl.BlockSpec((1, step * step, Hp, Wp),
+                               lambda i, j, k: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, th, tw), lambda i, j, k: (i, j, k),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, nty * th, ntx * tw), jnp.uint8),
+    )(planes)
+    return out[:, :ny, :nx] != 0
+
+
+def main2():
+    from grayskull_tpu.cascade import load_frontalface
+    from grayskull_tpu.kernels.lbp import lbp_eval_scale, lbp_pad_for
+    from grayskull_tpu.ops.integral import integral
+    from grayskull_tpu.profiling import timeit
+
+    cascade = load_frontalface()
+    nb, ih, iw = 32, 480, 640
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (nb, ih, iw), dtype=np.uint8)
+    iib = integral(jnp.asarray(imgs))
+    scale, step = 1.0, 1
+    ny, nx = (ih - 24) + 1, (iw - 24) + 1
+    iip = lbp_pad_for(cascade, iib, [(scale, 24, 24)], ih, iw, step)
+    iip = jnp.pad(iip, ((0, 0), (0, 96), (0, 0)))
+
+    base = np.asarray(lbp_eval_scale(cascade, iip, scale, ny, nx, step))
+    t = timeit(lambda: lbp_eval_scale(cascade, iip, scale, ny, nx, step),
+               warmup=1, iters=10)
+    print(f"A baseline:        {t*1e3:8.2f} ms  {nb*ny*nx/t/1e6:7.1f} M win/s")
+    sys.stdout.flush()
+    for name, kw in (
+        ("F th=32 bar/1", dict(th=32, every=1)),
+        ("G th=32 bar/3", dict(th=32, every=3)),
+        ("H th=64 bar/1", dict(th=64, every=1)),
+        ("I th=16 bar/1", dict(th=16, every=1)),
+    ):
+        try:
+            got = np.asarray(eval_scale_barrier(cascade, iip, scale, ny, nx,
+                                                step, **kw))
+            ok = (got == base).all()
+            t = timeit(lambda: eval_scale_barrier(cascade, iip, scale, ny, nx,
+                                                  step, **kw),
+                       warmup=1, iters=10)
+            print(f"{name}:   {t*1e3:8.2f} ms  {nb*ny*nx/t/1e6:7.1f} M win/s  "
+                  f"{'exact' if ok else 'MISMATCH'}")
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}:   FAILED {type(e).__name__}: {str(e)[:160]}")
+        sys.stdout.flush()
+
+
+if __name__ == "__main__" and "--r2" in sys.argv and "--r3" not in sys.argv:
+    main2()
+
+
+# --- round 3: per-stage pl.when regions scope the allocator ----------------
+# optimization_barrier does not lower in Mosaic.  Instead: wrap each stage in
+# a pl.when region guarded by an SMEM flag Mosaic cannot constant-fold, with
+# `alive` carried in VMEM scratch.  Values created inside a region die at
+# region end, so the live set should peak near one stage's weaks.
+
+def _region_kernel(flag_ref, ii_ref, out_ref, alive_ref, *, cascade, ny, nx,
+                   geo, th, tw, step, every: int):
+    ty, tx = pl.program_id(1), pl.program_id(2)
+    wy = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + ty * th
+    wx = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + tx * tw
+    alive_ref[:] = ((wy < ny) & (wx < nx)).astype(jnp.int32)
+    stages = tuple(range(cascade.nstages))
+    for group in range(0, len(stages), every):
+        @pl.when(flag_ref[0] == 1)
+        def _(group=group):
+            alive = _eval_chunk(ii_ref, alive_ref[:], geo, cascade,
+                                stages[group : group + every], ny, nx, th, tw,
+                                step, ty, tx)
+            alive_ref[:] = alive
+    out_ref[0] = alive_ref[:].astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("cascade", "scale", "ny", "nx",
+                                             "step", "th", "every"))
+def eval_scale_region(cascade, iip, scale, ny, nx, step=1, th=32, every=1):
+    n = iip.shape[0]
+    tw = _pick_tw(nx)
+    nty, ntx = -(-ny // th), -(-nx // tw)
+    geo = _plan_chunk(cascade, scale, tw, th, step, 0, int(cascade.nweaks))
+    Hp = (nty - 1) * th + geo["rh"]
+    Wp = (ntx - 1) * tw + geo["rw"]
+    assert iip.shape[1] >= Hp * step and iip.shape[2] >= Wp * step
+    planes = iip[:, None] if step == 1 else None
+    flag = jnp.ones((1,), jnp.int32)
+    out = pl.pallas_call(
+        functools.partial(_region_kernel, cascade=cascade, ny=ny, nx=nx,
+                          geo=geo, th=th, tw=tw, step=step, every=every),
+        grid=(n, nty, ntx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, step * step, Hp, Wp),
+                         lambda i, j, k: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, th, tw), lambda i, j, k: (i, j, k),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, nty * th, ntx * tw), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((th, tw), jnp.int32)],
+    )(flag, planes)
+    return out[:, :ny, :nx] != 0
+
+
+def main3():
+    from grayskull_tpu.cascade import load_frontalface
+    from grayskull_tpu.kernels.lbp import lbp_eval_scale, lbp_pad_for
+    from grayskull_tpu.ops.integral import integral
+    from grayskull_tpu.profiling import timeit
+
+    cascade = load_frontalface()
+    nb, ih, iw = 32, 480, 640
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (nb, ih, iw), dtype=np.uint8)
+    iib = integral(jnp.asarray(imgs))
+    scale, step = 1.0, 1
+    ny, nx = (ih - 24) + 1, (iw - 24) + 1
+    iip = lbp_pad_for(cascade, iib, [(scale, 24, 24)], ih, iw, step)
+    iip = jnp.pad(iip, ((0, 0), (0, 96), (0, 0)))
+
+    base = np.asarray(lbp_eval_scale(cascade, iip, scale, ny, nx, step))
+    t = timeit(lambda: lbp_eval_scale(cascade, iip, scale, ny, nx, step),
+               warmup=1, iters=10)
+    print(f"A baseline:        {t*1e3:8.2f} ms  {nb*ny*nx/t/1e6:7.1f} M win/s")
+    sys.stdout.flush()
+    for name, kw in (
+        ("J th=32 rgn/1", dict(th=32, every=1)),
+        ("K th=32 rgn/2", dict(th=32, every=2)),
+        ("L th=64 rgn/1", dict(th=64, every=1)),
+    ):
+        try:
+            got = np.asarray(eval_scale_region(cascade, iip, scale, ny, nx,
+                                               step, **kw))
+            ok = (got == base).all()
+            t = timeit(lambda: eval_scale_region(cascade, iip, scale, ny, nx,
+                                                 step, **kw),
+                       warmup=1, iters=10)
+            print(f"{name}:   {t*1e3:8.2f} ms  {nb*ny*nx/t/1e6:7.1f} M win/s  "
+                  f"{'exact' if ok else 'MISMATCH'}")
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}:   FAILED {type(e).__name__}: {str(e)[:160]}")
+        sys.stdout.flush()
+
+
+if __name__ == "__main__" and "--r3" in sys.argv:
+    main3()

@@ -12,6 +12,13 @@ in VMEM and evaluates the whole cascade per window strip in registers:
   256-wide tile; ``TH`` is the largest of 32/16/8 whose VMEM block fits —
   taller strips amortize the same relayouts over more window rows (r3: the
   TH=8 -> 32 change roughly doubled windows/s);
+* the cascade is CHUNKED into two sequential kernels (stage ranges chained
+  through the alive mask) when that buys TH=32 over TH=16: the scoped-VMEM
+  live set scales with the kernel's unrolled weak count, so ~70-weak chunks
+  admit strips twice as tall — measured 1.16-1.2x end-to-end despite the
+  doubled map construction and extra launch (exp/exp_lbp_split.py; the
+  pl.when-fused single-kernel form and per-stage region scoping both
+  measured SLOWER — Mosaic regions serialize and pay entry/exit);
 * the padded integral image is one revisited VMEM block per frame, so each
   weak's nine block sums are *static* slices of per-strip region values
   (the strip's dynamic row offset is a multiple of 8, satisfying Mosaic's
@@ -28,7 +35,8 @@ in VMEM and evaluates the whole cascade per window strip in registers:
   leading zero row/column of the padded integral, exactly like the XLA path;
 * per-scale geometry (the reference's float32 feature scaling,
   grayskull.h:799-804) is host-side static data baked into the kernel, so
-  each ladder scale compiles its own specialized kernel (~8-25 s).  The
+  each ladder scale compiles its own specialized program (~8-25 s; the
+  two chunk kernels of a split scale compile within one program).  The
   scales are independent programs, so ``ops.lbp.lbp_warm_start`` compiles
   them concurrently (the compiler overlaps ~2x, halving first-call wall
   time); the persistent compilation cache enabled in
@@ -71,7 +79,20 @@ def _pick_tw(nx: int) -> int:
     return min(_round(nx, 128), _TW_MAX)
 
 
-def _lbp_scale_kernel(ii_ref, out_ref, *, cascade, ny, nx, geo, th, tw, step):
+def _lbp_scale_kernel(ii_ref, *refs, cascade, ny, nx, geo, th, tw, step,
+                      stages, first):
+    """One cascade *chunk* (a contiguous stage range) over one window strip.
+
+    ``first`` chunks initialize the alive mask from the grid bounds; later
+    chunks AND into the previous chunk's mask (``alive_ref``).  Stage sums
+    never cross stages (grayskull.h:790-813), so chunking is semantics-free;
+    it exists so the unrolled weak chain per kernel stays small enough for
+    Mosaic's scoped-VMEM allocator to admit th=32 strips (see
+    ``_padded_dims``)."""
+    if first:
+        (out_ref,) = refs
+    else:
+        alive_ref, out_ref = refs
     ty = pl.program_id(1)
     tx = pl.program_id(2)
     rh, rw = geo["rh"], geo["rw"]
@@ -94,9 +115,12 @@ def _lbp_scale_kernel(ii_ref, out_ref, *, cascade, ny, nx, geo, th, tw, step):
             corner(h_, w_) + corner(0, 0) - corner(0, w_) - corner(h_, 0)
         )
 
-    wy = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + ty * th
-    wx = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + tx * tw
-    alive = ((wy < ny) & (wx < nx)).astype(jnp.int32)
+    if first:
+        wy = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + ty * th
+        wx = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + tx * tw
+        alive = ((wy < ny) & (wx < nx)).astype(jnp.int32)
+    else:
+        alive = alive_ref[0].astype(jnp.int32)
 
     fx, fy, fw, fh, wi = geo["fx"], geo["fy"], geo["fw"], geo["fh"], geo["wi"]
     subs = geo["subs"]
@@ -158,7 +182,7 @@ def _lbp_scale_kernel(ii_ref, out_ref, *, cascade, ny, nx, geo, th, tw, step):
         return jnp.where(match, jnp.float32(float(lefts[k])),
                          jnp.float32(float(rights[k])))
 
-    for si in range(cascade.nstages):
+    for si in stages:
         s0 = int(cascade.stage_weak_start[si])
         cnt = int(cascade.stage_nweaks[si])
         ssum = eval_weak(s0)
@@ -170,8 +194,11 @@ def _lbp_scale_kernel(ii_ref, out_ref, *, cascade, ny, nx, geo, th, tw, step):
     out_ref[0] = alive.astype(jnp.uint8)
 
 
-def _plan(cascade, scale: float, tw: int, th: int, step: int):
-    """Host-side static geometry for one ladder scale at strip (th, tw)."""
+def _plan(cascade, scale: float, tw: int, th: int, step: int, k_lo: int = 0,
+          k_hi: int | None = None):
+    """Host-side static geometry for one ladder scale at strip (th, tw),
+    restricted to weaks [k_lo, k_hi) — a cascade chunk's kernel only
+    materializes the rect-sum maps its own weaks touch."""
     from ..ops.lbp import _scaled_features, _subset_matrix
 
     fx, fy, fw, fh = _scaled_features(cascade, scale)
@@ -180,7 +207,7 @@ def _plan(cascade, scale: float, tw: int, th: int, step: int):
     # distinct (size, corner phase) maps actually used, with tight extents
     map_dims = {}
     phases_used = set()
-    for k in range(cascade.nweaks):
+    for k in range(k_lo, cascade.nweaks if k_hi is None else k_hi):
         f = int(wi[k])
         w_, h_ = int(fw[f]), int(fh[f])
         for bi in range(3):
@@ -218,37 +245,94 @@ def _plan(cascade, scale: float, tw: int, th: int, step: int):
     return geo
 
 
-def _vmem_estimate(geo, th: int, tw: int, step: int, Hp: int, Wp: int) -> int:
+def _vmem_estimate(geo, th: int, tw: int, step: int, Hp: int, Wp: int,
+                   nweaks: int) -> int:
     """Scoped-VMEM working-set estimate for one strip invocation: the input
     phase planes + every materialized rect-sum map + the live (th, tw)
-    temporaries of the unrolled 139-weak chain.  Mosaic's scoped stack limit
-    is 16 MB and its allocator keeps ~130 strip-sized values live across the
-    stage-sum chain (calibrated against a measured 17.27 MB overflow at
-    th=32/tw=768 where this formula must predict >= ~16 MB)."""
+    temporaries of the unrolled ``nweaks``-weak chain.  Mosaic's scoped
+    stack limit is 16 MB and its allocator keeps ~(nweaks - 4) strip-sized
+    values live across the stage-sum chain (calibrated against a measured
+    17.27 MB overflow at th=32/tw=768 for the full 139-weak cascade, where
+    this formula must predict >= ~16 MB) — which is exactly why the cascade
+    is CHUNKED across two kernels when that buys a taller strip."""
     planes = step * step * Hp * Wp * 4
     maps = sum(mh * mw * 4 for (mh, mw) in geo["map_dims"].values())
-    temps = 135 * th * tw * 4
+    temps = max(nweaks - 4, 8) * th * tw * 4
     return planes + maps + temps
+
+
+def _stage_chunks(cascade, nchunks: int):
+    """Contiguous stage ranges splitting the weak count ~evenly:
+    ((s_lo, s_hi, k_lo, k_hi), ...)."""
+    total = int(cascade.nweaks)
+    bounds = [0]
+    acc = 0
+    for si in range(cascade.nstages):
+        acc += int(cascade.stage_nweaks[si])
+        if acc >= total / nchunks * len(bounds) and len(bounds) < nchunks:
+            bounds.append(si + 1)
+    bounds.append(cascade.nstages)
+    out = []
+    for ci in range(nchunks):
+        s_lo, s_hi = bounds[ci], bounds[ci + 1]
+        k_lo = int(cascade.stage_weak_start[s_lo])
+        k_hi = (int(cascade.stage_weak_start[s_hi - 1])
+                + int(cascade.stage_nweaks[s_hi - 1]))
+        out.append((s_lo, s_hi, k_lo, k_hi))
+    return tuple(out)
 
 
 @functools.lru_cache(maxsize=512)
 def _padded_dims(cascade, scale: float, ny: int, nx: int, step: int):
-    """Strip geometry: (tw, th, geo, nty, ntx, Hp, Wp) with the largest
-    strip height whose working set fits scoped VMEM.
+    """Strip geometry: (tw, th, chunks, nty, ntx, Hp, Wp, fits) with the
+    largest strip height whose working set fits scoped VMEM.  ``chunks`` is
+    a tuple of (geo, stage_range) cascade chunks evaluated as sequential
+    kernels chained through the alive mask: a 2-chunk split at th=32
+    measured 1.16-1.20x the th=16 single-kernel throughput at 640x480
+    (exp/exp_lbp_split.py — th=32 alone is worth +48% over th=16 but the
+    split costs double map construction + an extra launch; fused/pl.when
+    variants measured slower).
 
-    step > 1 pins th=8: the step^2 phase planes and per-phase map copies
-    push the real scoped usage past the estimate (a batch-32 step-2 ladder
-    at th=16 overflowed the 16 MB limit once grid pipelining double-buffers
-    the next frame's planes; batch-1 compiles of the same kernel fit)."""
+    step > 1 pins th=8 single-chunk: the step^2 phase planes and per-phase
+    map copies push the real scoped usage past the estimate (a batch-32
+    step-2 ladder at th=16 overflowed the 16 MB limit once grid pipelining
+    double-buffers the next frame's planes; batch-1 compiles of the same
+    kernel fit)."""
     tw = _pick_tw(nx)
-    best = None
-    for th in (32, 16, 8) if step == 1 else (8,):
-        geo = _plan(cascade, scale, tw, th, step)
+
+    def build(th: int, nchunks: int):
         nty, ntx = -(-ny // th), -(-nx // tw)
-        Hp = (nty - 1) * th + geo["rh"]
-        Wp = (ntx - 1) * tw + geo["rw"]
-        best = (tw, th, geo, nty, ntx, Hp, Wp)
-        if _vmem_estimate(geo, th, tw, step, Hp, Wp) <= _VMEM_BLOCK_BYTES:
+        chunks = []
+        counts = []
+        Hp = Wp = 0
+        for s_lo, s_hi, k_lo, k_hi in _stage_chunks(cascade, nchunks):
+            geo = _plan(cascade, scale, tw, th, step, k_lo, k_hi)
+            Hp = max(Hp, (nty - 1) * th + geo["rh"])
+            Wp = max(Wp, (ntx - 1) * tw + geo["rw"])
+            chunks.append((geo, tuple(range(s_lo, s_hi))))
+            counts.append(k_hi - k_lo)
+        fits = all(
+            _vmem_estimate(geo, th, tw, step, Hp, Wp, cnt) <= _VMEM_BLOCK_BYTES
+            for (geo, _), cnt in zip(chunks, counts)
+        )
+        return fits, (tw, th, tuple(chunks), nty, ntx, Hp, Wp, fits)
+
+    # ordered by measured preference (exp/exp_lbp_split.py): taller strips
+    # dominate (th=32 over th=16 is +48% before split costs), then fewer
+    # chunks at equal th (the split pays double map construction + a launch:
+    # single 226 > split2 177 M win/s at th=16; split2 262 > split3 238 at
+    # th=32).  More chunks also shrink per-chunk maps, which is what admits
+    # th=32 for the LARGE ladder scales (their scaled features need 4-5 MB
+    # of rect-sum maps — these scales used to fall to th=8, 52 strips, and
+    # ran 2.5x slower per window than scale 1).
+    candidates = (
+        ((32, 1), (32, 2), (32, 3), (32, 4), (16, 1), (16, 2), (16, 3),
+         (8, 1), (8, 2)) if step == 1 else ((8, 1), (8, 2))
+    )
+    best = None
+    for th, nchunks in candidates:
+        fits, best = build(th, nchunks)
+        if fits:
             return best
     return best
 
@@ -264,7 +348,8 @@ def lbp_eval_scale(cascade, iip: jnp.ndarray, scale: float, ny: int, nx: int,
     ``ny``/``nx`` are the window-grid dims at stride ``step``.
     """
     n = iip.shape[0]
-    tw, th, geo, nty, ntx, Hp, Wp = _padded_dims(cascade, scale, ny, nx, step)
+    tw, th, chunks, nty, ntx, Hp, Wp, _ = _padded_dims(cascade, scale, ny, nx,
+                                                       step)
     need_h, need_w = Hp * step, Wp * step
     assert iip.shape[1] >= need_h and iip.shape[2] >= need_w, (
         iip.shape, need_h, need_w)
@@ -278,17 +363,23 @@ def lbp_eval_scale(cascade, iip: jnp.ndarray, scale: float, ny: int, nx: int,
             [iip[:, py:need_h:step, px:need_w:step]
              for py in range(step) for px in range(step)], axis=1
         )  # (N, step^2, Hp, Wp)
-    out = pl.pallas_call(
-        functools.partial(_lbp_scale_kernel, cascade=cascade, ny=ny, nx=nx,
-                          geo=geo, th=th, tw=tw, step=step),
-        grid=(n, nty, ntx),
-        in_specs=[pl.BlockSpec((1, step * step, Hp, Wp),
+    planes_spec = pl.BlockSpec((1, step * step, Hp, Wp),
                                lambda i, j, k: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, th, tw), lambda i, j, k: (i, j, k),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, nty * th, ntx * tw), jnp.uint8),
-    )(planes)
+                               memory_space=pltpu.VMEM)
+    alive_spec = pl.BlockSpec((1, th, tw), lambda i, j, k: (i, j, k),
+                              memory_space=pltpu.VMEM)
+    out = None
+    for ci, (geo, stages) in enumerate(chunks):
+        first = ci == 0
+        out = pl.pallas_call(
+            functools.partial(_lbp_scale_kernel, cascade=cascade, ny=ny, nx=nx,
+                              geo=geo, th=th, tw=tw, step=step, stages=stages,
+                              first=first),
+            grid=(n, nty, ntx),
+            in_specs=[planes_spec] if first else [planes_spec, alive_spec],
+            out_specs=alive_spec,
+            out_shape=jax.ShapeDtypeStruct((n, nty * th, ntx * tw), jnp.uint8),
+        )(*([planes] if first else [planes, out]))
     return out[:, :ny, :nx] != 0
 
 
@@ -309,7 +400,7 @@ def lbp_pad_for(cascade, iib: jnp.ndarray, ladder, ih: int, iw: int, step: int):
         nx = (iw - win_w) // step + 1
         if ny <= 0 or nx <= 0:
             continue
-        _, _, _, _, _, hp, wp = _padded_dims(cascade, scale, ny, nx, step)
+        _, _, _, _, _, hp, wp, _ = _padded_dims(cascade, scale, ny, nx, step)
         Hp, Wp = max(Hp, hp * step), max(Wp, wp * step)
     n, H, W = iib.shape
     return jnp.pad(iib, ((0, 0), (1, max(Hp - H - 1, 0)), (1, max(Wp - W - 1, 0))))
@@ -331,5 +422,4 @@ def lbp_pallas_available(cascade, ih: int, iw: int, scale: float, step: int) -> 
     nx = (iw - win_w) // step + 1
     if ny <= 0 or nx <= 0:
         return False
-    tw, th, geo, _, _, Hp, Wp = _padded_dims(cascade, scale, ny, nx, step)
-    return _vmem_estimate(geo, th, tw, step, Hp, Wp) <= _VMEM_BLOCK_BYTES
+    return _padded_dims(cascade, scale, ny, nx, step)[7]

@@ -261,8 +261,19 @@ def _emit_rects(mask, all_x, all_y, all_w, all_h, cap: int) -> Rects:
 
     def emit(m):
         total = m.shape[0]
+        k_out = min(cap, total)
         key = jnp.where(m, total - jnp.arange(total, dtype=jnp.int32), 0)
-        vals, _ = jax.lax.top_k(key, min(cap, total))
+        if total < (1 << 23) and _on_tpu():
+            # exact top-k via approx_max_k (recall_target=1.0 is an exact
+            # partial reduction): inverse window indices are < 2^23, exactly
+            # f32-representable and tie-free among set windows.  The ladder
+            # emission's lax.top_k over ~1.6M keys x batch was 133 ms of the
+            # 474 ms batch-32 faces() call (28%); approx_max_k cuts it ~10x.
+            vals = jax.lax.approx_max_k(
+                key.astype(jnp.float32), k_out, recall_target=1.0
+            )[0].astype(jnp.int32)
+        else:
+            vals, _ = jax.lax.top_k(key, k_out)
         if cap > total:
             vals = jnp.pad(vals, (0, cap - total))
         row_ok = vals > 0

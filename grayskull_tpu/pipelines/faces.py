@@ -12,7 +12,8 @@ Unlike the reference (static 640x480 integral buffer, nanomagick.c:348), any
 frame size works.
 
 First-call cost on TPU: each ladder scale compiles its own specialized Pallas
-kernel (~8-25 s each; ``force_xla=True`` on ``lbp_detect`` skips them).  The
+program (~8-25 s each — one or two chunked cascade kernels per scale, see
+``kernels.lbp``; ``force_xla=True`` on ``lbp_detect`` skips them).  The
 scales are independent programs, so :func:`warm_start` compiles them
 concurrently — the compiler overlaps ~2x, roughly halving first-call wall
 time — and the persistent XLA compilation cache (see
