@@ -37,6 +37,16 @@ scoping to cap the allocator's live set instead of splitting made things
 WORSE — Mosaic regions serialize and pay entry/exit per region (consistent
 with the exp_merged.py phase-region finding).  B is integrated in
 kernels/lbp.py (_padded_dims candidates (32,1)/(32,2)/(16,1)/(8,1)).
+
+ROUND 4 (--r4, step=2 scale 1.0 batch-32; shipping pin was th=8 single):
+  A shipping th=8 x1:  40.8 ms   55.6 M win/s
+  M th=16 x2:          32.3 ms   70.2 M win/s  exact
+  N th=16 x1:          28.0 ms   80.9 M win/s  exact (r2's OOM did not recur)
+  O th=32 x4:          26.9 ms   84.2 M win/s  exact  << best
+  P th=8  x1 (re-impl) 41.0 ms   55.2 M win/s  exact
+Integrated: one candidate ladder for every stride, with the phase-plane
+term DOUBLED in _vmem_estimate for step > 1 (grid pipelining
+double-buffers the planes — the r2 overflow).
 """
 
 from __future__ import annotations
@@ -327,7 +337,7 @@ def main():
         sys.stdout.flush()
 
 
-if __name__ == "__main__" and "--r2" not in sys.argv and "--r3" not in sys.argv:
+if __name__ == "__main__" and not any(a in sys.argv for a in ("--r2", "--r3", "--r4")):
     main()
 
 
@@ -420,7 +430,7 @@ def main2():
         sys.stdout.flush()
 
 
-if __name__ == "__main__" and "--r2" in sys.argv and "--r3" not in sys.argv:
+if __name__ == "__main__" and "--r2" in sys.argv:
     main2()
 
 
@@ -519,3 +529,56 @@ def main3():
 
 if __name__ == "__main__" and "--r3" in sys.argv:
     main3()
+
+
+# --- round 4: does chunking unpin step=2 from th=8? ------------------------
+# r2 note: step-2 th=16 SINGLE overflowed scoped VMEM once grid pipelining
+# double-buffers the step^2 phase planes.  Chunking shrinks temporaries and
+# per-chunk maps, so th=16/32 may now fit.  Measured against the shipping
+# th=8 single-chunk kernel (itself parity-tested).
+
+def main4():
+    from grayskull_tpu.cascade import load_frontalface
+    from grayskull_tpu.kernels.lbp import lbp_eval_scale, lbp_pad_for
+    from grayskull_tpu.ops.integral import integral
+    from grayskull_tpu.profiling import timeit
+
+    cascade = load_frontalface()
+    nb, ih, iw = 32, 480, 640
+    step = 2
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (nb, ih, iw), dtype=np.uint8)
+    iib = integral(jnp.asarray(imgs))
+    scale = 1.0
+    ny = (ih - 24) // step + 1
+    nx = (iw - 24) // step + 1
+    iip = lbp_pad_for(cascade, iib, [(scale, 24, 24)], ih, iw, step)
+    iip = jnp.pad(iip, ((0, 0), (0, 128), (0, 0)))
+
+    base = np.asarray(lbp_eval_scale(cascade, iip, scale, ny, nx, step))
+    t = timeit(lambda: lbp_eval_scale(cascade, iip, scale, ny, nx, step),
+               warmup=1, iters=10)
+    print(f"A step2 shipping:  {t*1e3:8.2f} ms  {nb*ny*nx/t/1e6:7.1f} M win/s")
+    sys.stdout.flush()
+    for name, kw in (
+        ("M step2 th=16 x2", dict(th=16, nchunks=2, fused=False)),
+        ("N step2 th=16 x1", dict(th=16, nchunks=1, fused=False)),
+        ("O step2 th=32 x4", dict(th=32, nchunks=4, fused=False)),
+        ("P step2 th=8  x1", dict(th=8, nchunks=1, fused=False)),
+    ):
+        try:
+            got = np.asarray(eval_scale_split(cascade, iip, scale, ny, nx,
+                                              step, **kw))
+            ok = (got == base).all()
+            t = timeit(lambda: eval_scale_split(cascade, iip, scale, ny, nx,
+                                                step, **kw),
+                       warmup=1, iters=10)
+            print(f"{name}: {t*1e3:8.2f} ms  {nb*ny*nx/t/1e6:7.1f} M win/s  "
+                  f"{'exact' if ok else 'MISMATCH'}")
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:160]}")
+        sys.stdout.flush()
+
+
+if __name__ == "__main__" and "--r4" in sys.argv:
+    main4()

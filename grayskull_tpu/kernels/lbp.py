@@ -69,6 +69,11 @@ __all__ = ["lbp_eval_scale", "lbp_pad_for", "lbp_pallas_available"]
 
 _TW_MAX = 768  # full-width strips up to this many lanes; wider grids tile
 _VMEM_BLOCK_BYTES = 11 * 1024 * 1024  # working-set budget (scoped limit 16M)
+# tall strips (th > 8) at step > 1 underpredict harder — see
+# _vmem_estimate; budget those configs so real usage keeps clear headroom
+# under the 16 MB scoped limit (the observed OOM predicted 10.4 MB under
+# this accounting; the observed pass predicted 9.9 MB)
+_VMEM_BLOCK_BYTES_STEPN = 9_000_000
 
 
 def _round(v: int, m: int) -> int:
@@ -254,8 +259,19 @@ def _vmem_estimate(geo, th: int, tw: int, step: int, Hp: int, Wp: int,
     values live across the stage-sum chain (calibrated against a measured
     17.27 MB overflow at th=32/tw=768 for the full 139-weak cascade, where
     this formula must predict >= ~16 MB) — which is exactly why the cascade
-    is CHUNKED across two kernels when that buys a taller strip."""
-    planes = step * step * Hp * Wp * 4
+    is CHUNKED across two kernels when that buys a taller strip.
+
+    Tall strips (th > 8) at step > 1 count the phase planes TWICE: grid
+    pipelining double-buffers the next frame's planes (an r2 batch-32
+    step-2 th=16 ladder overflowed the real limit while batch-1 compiles of
+    the same kernel fit), and the per-phase map construction holds more
+    transients than the formula sees (a th=32 step-2 scale predicted at
+    10.2 MB compiled to a real 16.45 MB stack while a 9.9 MB prediction
+    ran) — hence also the tighter ``_VMEM_BLOCK_BYTES_STEPN`` budget those
+    configs are gated against.  th=8 step>1 configs keep the r2-shipping
+    accounting they were validated under."""
+    tall_stepn = step > 1 and th > 8
+    planes = step * step * Hp * Wp * 4 * (2 if tall_stepn else 1)
     maps = sum(mh * mw * 4 for (mh, mw) in geo["map_dims"].values())
     temps = max(nweaks - 4, 8) * th * tw * 4
     return planes + maps + temps
@@ -312,7 +328,9 @@ def _padded_dims(cascade, scale: float, ny: int, nx: int, step: int):
             chunks.append((geo, tuple(range(s_lo, s_hi))))
             counts.append(k_hi - k_lo)
         fits = all(
-            _vmem_estimate(geo, th, tw, step, Hp, Wp, cnt) <= _VMEM_BLOCK_BYTES
+            _vmem_estimate(geo, th, tw, step, Hp, Wp, cnt)
+            <= (_VMEM_BLOCK_BYTES_STEPN if (step > 1 and th > 8)
+                else _VMEM_BLOCK_BYTES)
             for (geo, _), cnt in zip(chunks, counts)
         )
         return fits, (tw, th, tuple(chunks), nty, ntx, Hp, Wp, fits)
@@ -325,10 +343,11 @@ def _padded_dims(cascade, scale: float, ny: int, nx: int, step: int):
     # th=32 for the LARGE ladder scales (their scaled features need 4-5 MB
     # of rect-sum maps — these scales used to fall to th=8, 52 strips, and
     # ran 2.5x slower per window than scale 1).
-    candidates = (
-        ((32, 1), (32, 2), (32, 3), (32, 4), (16, 1), (16, 2), (16, 3),
-         (8, 1), (8, 2)) if step == 1 else ((8, 1), (8, 2))
-    )
+    # the same ladder serves step > 1 (with the doubled planes term above):
+    # measured at step 2 scale 1.0, th=32 x4 chunks = 84.2 M win/s vs the
+    # previously pinned th=8 single's 55.6 (+51%), th=16 x1 = 80.9
+    candidates = ((32, 1), (32, 2), (32, 3), (32, 4), (16, 1), (16, 2),
+                  (16, 3), (8, 1), (8, 2))
     best = None
     for th, nchunks in candidates:
         fits, best = build(th, nchunks)

@@ -522,6 +522,48 @@ def orb_extract(img: jnp.ndarray, max_kps: int, threshold, limit=None):
     return Keypoints(n=n, x=tx, y=ty, response=tr, angle=angle, descriptor=desc)
 
 
+def _select_candidates_sort(kps, valid, cap: int, radius: int, h: int, w: int):
+    """Reference formulation of ``gs_orb_extract``'s candidate selection:
+    stable descending sort on response, border filter, rank-scatter compact."""
+    key = jnp.where(valid, -kps.response, 1)
+    order = jnp.argsort(key, stable=True)
+    sx = kps.x[order]
+    sy = kps.y[order]
+    sr = kps.response[order]
+    sv = valid[order]
+    border_ok = (sx >= radius) & (sy >= radius) & (sx < w - radius) & (sy < h - radius)
+    n, (tx, ty, tr) = _rank_scatter(sv & border_ok, cap, (sx, sy, sr))
+    return n, tx, ty, tr
+
+
+def _select_candidates_approx(kps, valid, cap: int, radius: int, h: int, w: int):
+    """TPU formulation, same table bit-for-bit: the selection IS "top ``cap``
+    border-ok candidates by (response desc, candidate scan order asc)" — one
+    exact ``approx_max_k`` over packed keys ``response << 12 | inverse_rank``
+    (< 2^20, so f32-exact and tie-free) replaces the stable argsort + 4
+    gathers + rank-scatter compaction.  Border filtering commutes with
+    selection because it depends only on (x, y), so it masks the keys up
+    front.  ``tests/test_features.py`` pins this equal to the sort path."""
+    cand_cap = kps.x.shape[0]
+    border_ok = ((kps.x >= radius) & (kps.y >= radius)
+                 & (kps.x < w - radius) & (kps.y < h - radius))
+    inv = cand_cap - jnp.arange(cand_cap, dtype=jnp.int32)
+    packed = jnp.where(valid & border_ok, (kps.response << 12) | inv, 0)
+    k_out = min(cap, cand_cap)
+    vals_f, idxs = jax.lax.approx_max_k(
+        packed.astype(jnp.float32), k_out, recall_target=1.0)
+    vals = vals_f.astype(jnp.int32)
+    if cap > cand_cap:
+        vals = jnp.pad(vals, (0, cap - cand_cap))
+        idxs = jnp.pad(idxs, (0, cap - cand_cap))
+    row_ok = vals > 0
+    n = jnp.sum(row_ok).astype(jnp.int32)
+    tx = jnp.where(row_ok, kps.x[idxs], 0)
+    ty = jnp.where(row_ok, kps.y[idxs], 0)
+    tr = jnp.where(row_ok, kps.response[idxs], 0)
+    return n, tx, ty, tr
+
+
 def _orb_select(img, cap: int, threshold, limit=None):
     """FAST candidates -> stable response sort -> border filter -> compacted
     (n, x, y, response) table — ``gs_orb_extract``'s selection stage."""
@@ -536,15 +578,8 @@ def _orb_select(img, cap: int, threshold, limit=None):
             n_cand, jnp.minimum(jnp.asarray(limit, jnp.int32) * 4, 5000)
         )
     valid = jnp.arange(cand_cap) < n_cand
-    # stable descending sort on response == ascending sort on -response
-    key = jnp.where(valid, -kps.response, 1)
-    order = jnp.argsort(key, stable=True)
-    sx = kps.x[order]
-    sy = kps.y[order]
-    sr = kps.response[order]
-    sv = valid[order]
-    border_ok = (sx >= radius) & (sy >= radius) & (sx < w - radius) & (sy < h - radius)
-    n, (tx, ty, tr) = _rank_scatter(sv & border_ok, cap, (sx, sy, sr))
+    select = _select_candidates_approx if _on_tpu() else _select_candidates_sort
+    n, tx, ty, tr = select(kps, valid, cap, radius, h, w)
     if limit is not None:
         lim = jnp.minimum(jnp.asarray(limit, jnp.int32), cap)
         n = jnp.minimum(n, lim)

@@ -337,3 +337,43 @@ def test_orb_patch_kernel_matches_cpu(testdata):
         np.testing.assert_array_equal(
             np.asarray(getattr(g1, f)), np.asarray(getattr(ref, f))[0], err_msg=f
         )
+
+
+def test_orb_candidate_selection_paths_agree(testdata, rng):
+    """The TPU selection (_select_candidates_approx — exact approx_max_k on
+    packed response|inverse-rank keys) must equal the reference stable-sort
+    formulation on every table field, including response ties, border
+    rejections, and partially-valid tables.  approx_max_k with
+    recall_target=1.0 is exact on CPU too, so this pins the semantics; the
+    f32-exactness of the < 2^20 keys covers the TPU lowering."""
+    import jax.numpy as jnp
+
+    from grayskull_tpu.ops.features import (_select_candidates_approx,
+                                            _select_candidates_sort, fast)
+
+    scene = testdata["aruco"]
+    h, w = scene.shape
+    kps, _ = fast(jnp.asarray(scene), 2000, 20)
+    for n_cand in (2000, 137, 0):
+        valid = jnp.arange(2000) < n_cand
+        for cap in (500, 2000, 7):
+            a = _select_candidates_sort(kps, valid, cap, 15, h, w)
+            b = _select_candidates_approx(kps, valid, cap, 15, h, w)
+            for fa, fb, name in zip(a, b, ("n", "x", "y", "r")):
+                np.testing.assert_array_equal(
+                    np.asarray(fa), np.asarray(fb),
+                    err_msg=f"{name} n_cand={n_cand} cap={cap}")
+    # heavy ties: random low-entropy responses
+    flat = Keypoints(
+        n=jnp.int32(300),
+        x=jnp.asarray(rng.integers(0, w, 300, dtype=np.int32)),
+        y=jnp.asarray(rng.integers(0, h, 300, dtype=np.int32)),
+        response=jnp.asarray(rng.integers(20, 23, 300, dtype=np.int32)),
+        angle=jnp.zeros(300, jnp.float32),
+        descriptor=jnp.zeros((300, 8), jnp.uint32),
+    )
+    valid = jnp.arange(300) < 251
+    a = _select_candidates_sort(flat, valid, 100, 15, h, w)
+    b = _select_candidates_approx(flat, valid, 100, 15, h, w)
+    for fa, fb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))

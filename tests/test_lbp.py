@@ -205,6 +205,40 @@ def test_lbp_pallas_step_gt1(testdata, cascade, step):
     np.testing.assert_array_equal(fast, ref)
 
 
+def test_strip_geometry_plan():
+    """Pin the host-side strip planner's decisions (kernels.lbp._padded_dims):
+    step-1 640x480 must hold th=32 chunked strips on EVERY ladder scale (the
+    r3 110-fps geometry), tall step>1 configs must respect the tighter
+    budget they are gated against (a th=32 step-2 scale predicted at 10.2 MB
+    OOM'd the real 16 MB scoped limit), and step 4 must keep the validated
+    th=8 shipping shape."""
+    from grayskull_tpu.kernels.lbp import (_VMEM_BLOCK_BYTES,
+                                           _VMEM_BLOCK_BYTES_STEPN,
+                                           _padded_dims, _stage_chunks,
+                                           _vmem_estimate)
+    from grayskull_tpu.ops.lbp import _grid_plan
+
+    cas = load_frontalface()
+    for step in (1, 2, 3, 4):
+        for scale, _, _, ny, nx in _grid_plan(cas, 480, 640, 1.2, 1.0, 4.0, step):
+            tw, th, chunks, nty, ntx, Hp, Wp, fits = _padded_dims(
+                cas, scale, ny, nx, step)
+            if step == 1:
+                assert th == 32 and fits, (scale, th, fits)
+            if step == 4:
+                assert th == 8, (scale, th)
+            # chained chunks must cover all 20 stages exactly once, in order
+            covered = [s for _, stages in chunks for s in stages]
+            assert covered == list(range(cas.nstages))
+            if fits:
+                budget = (_VMEM_BLOCK_BYTES_STEPN if (step > 1 and th > 8)
+                          else _VMEM_BLOCK_BYTES)
+                for (geo, _), (_, _, k_lo, k_hi) in zip(
+                        chunks, _stage_chunks(cas, len(chunks))):
+                    est = _vmem_estimate(geo, th, tw, step, Hp, Wp, k_hi - k_lo)
+                    assert est <= budget, (step, scale, est, budget)
+
+
 def test_warm_start_compiles_detect_path(oracle, testdata):
     """pipelines.warm_start pre-compiles the per-scale executables (thread
     pool) and a subsequent detect_faces hits those caches with unchanged,
