@@ -80,6 +80,12 @@ def testdata(ref_dir):
     return out
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped on purpose: a session-scoped generator couples test
+    # CONTENT to collection order — adding an unrelated test once shifted
+    # the sequence so the batch-loader roundtrip drew a frame whose first
+    # pixel is a whitespace byte, which the reference's fscanf header
+    # parser (and our faithful codecs) cannot read back (see
+    # test_native.test_whitespace_first_pixel_quirk)
     return np.random.default_rng(1234)

@@ -88,3 +88,28 @@ def test_io_module_uses_native_batch(tmp_path, rng):
     gio.write_pgm(img, p)
     batch = gio.read_pgm_batch([p, p])
     assert batch.shape == (2, 6, 6)
+
+
+def test_whitespace_first_pixel_quirk(tmp_path, oracle):
+    """A C quirk we reproduce faithfully: gs_read_pgm's header format
+    string ``"P5\\n%u %u\\n%u\\n"`` (grayskull.h:116) ends in a whitespace
+    directive, which fscanf matches GREEDILY — so an image whose FIRST
+    PIXEL is a whitespace byte (0x09-0x0D, 0x20) loses that byte to the
+    header and the subsequent w*h fread comes up short.  The reference
+    cannot read back such a file it itself wrote; the native and Python
+    codecs agree."""
+    img = np.full((4, 5), 7, np.uint8)
+    img[0, 0] = 0x0A  # newline-valued first pixel
+    p = str(tmp_path / "ws.pgm")
+    assert native.write_pgm(img, p) == 0
+    assert oracle.read_pgm(p) is None       # the C reference itself fails
+    assert native.read_pgm(p) is None       # native loader matches
+    assert gio.read_pgm(p) is None          # python codec matches
+    with pytest.raises(IOError):
+        native.read_pgm_batch([p])
+    # a non-whitespace first pixel round-trips everywhere
+    img[0, 0] = 200
+    assert native.write_pgm(img, p) == 0
+    np.testing.assert_array_equal(oracle.read_pgm(p), img)
+    np.testing.assert_array_equal(native.read_pgm(p), img)
+    np.testing.assert_array_equal(gio.read_pgm(p), img)
