@@ -24,9 +24,14 @@ import pytest  # noqa: E402
 # GRAYSKULL_TEST_TPU=1 keeps the TPU default so the @pytest.mark.tpu parity
 # tests (Pallas kernels vs the CPU/XLA paths) actually execute:
 #     GRAYSKULL_TEST_TPU=1 pytest tests/ -m tpu -q        (make test-tpu)
-_cpu0 = jax.devices("cpu")[0]
+#
+# jax_platforms must flip to cpu BEFORE any backend initializes: the first
+# jax.devices() call builds EVERY selected backend, and with the tunneled
+# TPU platform selected that dials the remote relay — a dead tunnel then
+# hangs the whole CPU test suite on the very first device lookup.
 if not os.environ.get("GRAYSKULL_TEST_TPU"):
-    jax.config.update("jax_default_device", _cpu0)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 REFERENCE_DIR = os.environ.get("GRAYSKULL_REF", "/root/reference")
 
