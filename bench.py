@@ -22,17 +22,20 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax  # noqa: E402
-import jax.numpy as jnp  # noqa: E402
 
-import grayskull_tpu as gs  # noqa: E402
-from grayskull_tpu.pipelines.preproc import preprocess  # noqa: E402
-from grayskull_tpu.profiling import sync as _sync  # noqa: E402  (fences EVERY leaf)
+# grayskull_tpu (and jnp constant creation generally) initializes the default
+# backend at import — deferred into main() so the watchdog in
+# _backend_or_none() runs FIRST and a dead TPU tunnel yields an explicit
+# error line instead of a hang the driver can't interpret.
 
 TARGET_FPS = 10_000.0  # north-star from BASELINE.json
 
 
 def make_batch(n, h=1024, w=1024):
     """Realistic content: tiled testdata if available, else random."""
+    import jax.numpy as jnp
+
+    import grayskull_tpu as gs
     ref = os.environ.get("GRAYSKULL_REF", "/root/reference")
     lena_path = os.path.join(ref, "testdata", "lena.pgm")
     if os.path.exists(lena_path):
@@ -45,8 +48,49 @@ def make_batch(n, h=1024, w=1024):
     return jnp.asarray(batch)
 
 
+def _backend_or_none(timeout_s: float = 180.0):
+    """Initialize the default backend in a watchdog thread.
+
+    The tunneled TPU backend can be fully down, in which case the FIRST
+    device lookup blocks forever — a hung bench records nothing for the
+    round, which is strictly worse than an explicit error line.
+    """
+    import threading
+
+    box = {}
+
+    def probe():
+        try:
+            box["backend"] = jax.default_backend()
+        except Exception as e:  # noqa: BLE001 — report any init failure
+            box["error"] = repr(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        return None, f"backend init exceeded {timeout_s:.0f}s (tunnel down?)"
+    return box.get("backend"), box.get("error")
+
+
 def main():
-    on_tpu = jax.default_backend() == "tpu"
+    backend, err = _backend_or_none()
+    if backend is None:
+        print(
+            json.dumps(
+                {
+                    "metric": "fused_blur_otsu_threshold_sobel_1MP_frames_per_sec",
+                    "value": 0.0,
+                    "unit": "frames/sec/chip",
+                    "vs_baseline": 0.0,
+                    "error": err or "backend init failed",
+                }
+            )
+        )
+        return
+    on_tpu = backend == "tpu"
+    from grayskull_tpu.pipelines.preproc import preprocess
+    from grayskull_tpu.profiling import sync as _sync  # fences EVERY leaf
     n = 256 if on_tpu else 4
     # enough queued iterations that the tunnel's ~5 ms/dispatch amortizes away
     iters = 20 if on_tpu else 2
