@@ -197,13 +197,13 @@ def bench():
             key = f"{build}-{mode}"
             try:
                 ms = timeit(lambda: blur_hist_variant(x, 2, build, mode),
-                            iters=20)
+                            iters=20) * 1e3
             except Exception as e:  # noqa: BLE001 — a variant may not compile
                 print(f"  {key}: FAILED {type(e).__name__}: {e}", flush=True)
                 continue
             results[key] = ms
             print(f"  {key}: {ms:.2f} ms  ({256e3 / ms:.0f} fps)", flush=True)
-    ms = timeit(lambda: blur_hist_variant(x, 2, "v0", "nohist"), iters=20)
+    ms = timeit(lambda: blur_hist_variant(x, 2, "v0", "nohist"), iters=20) * 1e3
     results["blur-only"] = ms
     print(f"  blur-only: {ms:.2f} ms", flush=True)
     return results

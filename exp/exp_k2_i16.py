@@ -115,7 +115,7 @@ def bench():
     for name, fn in (("shipped-i32", lambda: fused_threshold_sobel(x, ts)),
                      ("i16", lambda: threshold_sobel_i16(x, ts))):
         try:
-            ms = timeit(fn, iters=20)
+            ms = timeit(fn, iters=20) * 1e3
         except Exception as e:  # noqa: BLE001
             print(f"  {name}: FAILED {type(e).__name__}: {e}", flush=True)
             continue
