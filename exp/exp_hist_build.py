@@ -168,6 +168,67 @@ def blur_hist_variant(imgs, radius=2, build="v0", mode="full",
     return blurred, hist.reshape(n, 256)
 
 
+def _hist_only_kernel(x_ref, hist_ref, acc_ref, *, w, blk, build):
+    j = pl.program_id(1)
+    nb = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    vals = x_ref[0].astype(jnp.int32)
+    klass = jax.lax.broadcasted_iota(jnp.int32, (128, w), 0) >> 3
+    acc = acc_ref[:]
+    for g in range(blk // 8):
+        a, b = _BUILDS[build](vals, g, klass)
+        acc = acc + jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32,
+        )
+    acc_ref[:] = acc
+
+    @pl.when(j == nb - 1)
+    def _():
+        accv = acc_ref[:].astype(jnp.float32)
+        xid = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        yid = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        masked = jnp.where((xid & 7) == (yid & 7), accv, 0.0)
+        pid = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0)
+        pcol = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1) >> 3
+        p = (pid == pcol).astype(jnp.float32)
+        t1 = jax.lax.dot_general(
+            p, masked, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        m = jax.lax.dot_general(
+            t1, p, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        hist_ref[0] = m.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("build", "interpret"))
+def hist_pallas(imgs, build="v0", interpret=False):
+    """Histogram WITHOUT the blur — candidate fast path for the standalone
+    gs.histogram / gs.otsu_threshold ops (currently the XLA nibble matmul:
+    ~18.5k 1MP fps, 7.9%% of measured HBM bandwidth)."""
+    n, h, w = imgs.shape
+    blk = _pick_block(h, w)
+    hist = pl.pallas_call(
+        functools.partial(_hist_only_kernel, w=w, blk=blk, build=build),
+        grid=(n, h // blk),
+        in_specs=[pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 16, 16), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 16, 16), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((128, 128), jnp.int32)],
+        interpret=interpret,
+    )(imgs)
+    return hist.reshape(n, 256)
+
+
 def check_exact(interpret):
     """All variants must match ops.blur + ops.histogram bit-exactly."""
     import grayskull_tpu as gs
@@ -183,7 +244,11 @@ def check_exact(interpret):
                                           "full", interpret)
         np.testing.assert_array_equal(np.asarray(blurred), want_blur, err_msg=build)
         np.testing.assert_array_equal(np.asarray(hist), want_hist, err_msg=build)
-        print(f"  {build}: exact", flush=True)
+        ho = hist_pallas(jnp.asarray(frames), build, interpret)
+        np.testing.assert_array_equal(
+            np.asarray(ho), np.asarray(gs.histogram(frames)),
+            err_msg=f"hist-only {build}")
+        print(f"  {build}: exact (+hist-only)", flush=True)
 
 
 def bench():
@@ -206,6 +271,16 @@ def bench():
     ms = timeit(lambda: blur_hist_variant(x, 2, "v0", "nohist"), iters=20) * 1e3
     results["blur-only"] = ms
     print(f"  blur-only: {ms:.2f} ms", flush=True)
+    for build in ("v0", "v1", "v2"):
+        try:
+            ms = timeit(lambda: hist_pallas(x, build), iters=20) * 1e3
+        except Exception as e:  # noqa: BLE001
+            print(f"  hist-only-{build}: FAILED {type(e).__name__}: {e}",
+                  flush=True)
+            continue
+        results[f"hist-only-{build}"] = ms
+        print(f"  hist-only-{build}: {ms:.2f} ms  ({256e3 / ms:.0f} fps)",
+              flush=True)
     return results
 
 
