@@ -490,9 +490,15 @@ def orb_extract(img: jnp.ndarray, max_kps: int, threshold, limit=None):
         # extraction runs BATCHED in the Pallas window-select kernel (the
         # vmapped dynamic_slice gather was the dominant ORB stage, r3)
         imgs = img[None] if img.ndim == 2 else img
-        n, tx, ty, tr = jax.vmap(
-            lambda im: _orb_select(im, cap, threshold, limit)
-        )(imgs)
+        if limit is not None and jnp.ndim(limit) == 1:
+            # per-frame dynamic budgets (the batched pyramid pipeline)
+            n, tx, ty, tr = jax.vmap(
+                lambda im, lm: _orb_select(im, cap, threshold, lm)
+            )(imgs, jnp.asarray(limit, jnp.int32))
+        else:
+            n, tx, ty, tr = jax.vmap(
+                lambda im: _orb_select(im, cap, threshold, limit)
+            )(imgs)
         safe_x = jnp.clip(tx, radius, w - radius - 1)
         safe_y = jnp.clip(ty, radius, h - radius - 1)
         if use_kernel:

@@ -39,17 +39,24 @@ def pyramid_levels(shape, n_levels: int = 3):
 def extract_pyramid_orb(img: jnp.ndarray, max_kps: int, threshold, n_levels: int = 3):
     """Multi-scale ORB over a box-downsampled pyramid (nanomagick.c:245-290).
 
-    Returns a :class:`Keypoints` table of capacity ``max_kps`` with coordinates in
-    full-resolution pixels, level results concatenated in level order.
+    ``img`` may be (H, W) or a batch (N, H, W) — batched extraction runs every
+    level over the whole batch at once (one ``orb_extract`` per level), with the
+    last level's dynamic budget tracked per frame.  Returns a
+    :class:`Keypoints` table of capacity ``max_kps`` (per frame) with
+    coordinates in full-resolution pixels, level results concatenated in level
+    order.
     """
+    single = img.ndim == 2
+    imgs = img[None] if single else img
+    b = imgs.shape[0]
     cap = int(max_kps)
-    levels = pyramid_levels(img.shape, n_levels)
+    levels = pyramid_levels(imgs.shape[-2:], n_levels)
     nlv = len(levels)
     per_level = cap // nlv
 
     tables = []
-    cur = img
-    total = jnp.int32(0)
+    cur = imgs
+    total = jnp.zeros((b,), jnp.int32)
     for lvl in range(nlv):
         if lvl > 0:
             cur = downsample(cur)
@@ -65,37 +72,51 @@ def extract_pyramid_orb(img: jnp.ndarray, max_kps: int, threshold, n_levels: int
         tables.append(t)
         total = total + t.n
 
-    # concatenate tables compactly into one cap-table, level order
-    xs = jnp.concatenate([t.x for t in tables])
-    ys = jnp.concatenate([t.y for t in tables])
-    rs = jnp.concatenate([t.response for t in tables])
-    an = jnp.concatenate([t.angle for t in tables])
-    de = jnp.concatenate([t.descriptor for t in tables])
+    # concatenate tables compactly into one cap-table per frame, level order
+    xs = jnp.concatenate([t.x for t in tables], axis=1)
+    ys = jnp.concatenate([t.y for t in tables], axis=1)
+    rs = jnp.concatenate([t.response for t in tables], axis=1)
+    an = jnp.concatenate([t.angle for t in tables], axis=1)
+    de = jnp.concatenate([t.descriptor for t in tables], axis=1)
     valid = jnp.concatenate(
-        [jnp.arange(t.x.shape[0]) < t.n for t in tables]
+        [jnp.arange(t.x.shape[1])[None, :] < t.n[:, None] for t in tables],
+        axis=1,
     )
-    rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    rank = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
     ok = valid & (rank < cap)
     dst = jnp.where(ok, rank, cap)
 
-    def gather(v, extra=()):
+    def gather1(v, d):
         buf = jnp.zeros((cap + 1,) + v.shape[1:], v.dtype)
-        return buf.at[dst].set(v, mode="drop")[:cap]
+        return buf.at[d].set(v, mode="drop")[:cap]
 
-    n = jnp.minimum(jnp.sum(valid.astype(jnp.int32)), cap)
-    return Keypoints(
+    gather = jax.vmap(gather1)
+    n = jnp.minimum(jnp.sum(valid.astype(jnp.int32), axis=1), cap)
+    out = Keypoints(
         n=n.astype(jnp.int32),
-        x=gather(xs), y=gather(ys), response=gather(rs),
-        angle=gather(an), descriptor=gather(de),
+        x=gather(xs, dst), y=gather(ys, dst), response=gather(rs, dst),
+        angle=gather(an, dst), descriptor=gather(de, dst),
     )
+    if single:
+        return Keypoints(*(v[0] for v in out))
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("max_kps", "max_matches", "n_levels"))
 def track(template: jnp.ndarray, scene: jnp.ndarray, max_kps: int = 2500,
           threshold=20, max_matches: int = 300, max_distance=60.0, n_levels: int = 3):
     """Two-frame ORB template tracking — the compute core of ``nanomagick orb``
-    (nanomagick.c:292-311).  Returns (template_kps, scene_kps, matches)."""
-    tk = extract_pyramid_orb(template, max_kps, threshold, n_levels)
-    sk = extract_pyramid_orb(scene, max_kps, threshold, n_levels)
+    (nanomagick.c:292-311).  Returns (template_kps, scene_kps, matches).
+
+    Same-shape frames extract as ONE batch-2 pyramid pass (each level's FAST /
+    top-k / patch stages run once over both frames)."""
+    if template.shape == scene.shape:
+        both = extract_pyramid_orb(jnp.stack([template, scene]), max_kps,
+                                   threshold, n_levels)
+        tk = Keypoints(*(v[0] for v in both))
+        sk = Keypoints(*(v[1] for v in both))
+    else:
+        tk = extract_pyramid_orb(template, max_kps, threshold, n_levels)
+        sk = extract_pyramid_orb(scene, max_kps, threshold, n_levels)
     m = match_orb(tk, sk, max_matches, max_distance)
     return tk, sk, m

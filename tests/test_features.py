@@ -228,6 +228,20 @@ def test_track_aruco(oracle, testdata, exact_libm):
     np.testing.assert_array_equal(ours, ref_m.astype(np.int64))
 
 
+def test_track_same_shape_batches_pair(testdata):
+    """track() on same-shape frames takes the stacked batch-2 pyramid path —
+    results must equal the per-frame pyramid extractions."""
+    scene = testdata["aruco"][:240, :320].copy()
+    tmpl = np.roll(scene, 7, axis=1)
+    tk, sk, m = gs.pipelines.track(tmpl, scene, max_kps=400)
+    want_t = gs.pipelines.extract_pyramid_orb(tmpl, 400, 20)
+    want_s = gs.pipelines.extract_pyramid_orb(scene, 400, 20)
+    for got, want in ((tk, want_t), (sk, want_s)):
+        for f, g_v, w_v in zip(got._fields, got, want):
+            np.testing.assert_array_equal(np.asarray(g_v), np.asarray(w_v),
+                                          err_msg=f)
+
+
 def _tpu_default():
     import jax
 
