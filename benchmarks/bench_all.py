@@ -194,8 +194,9 @@ def main():
 
     @jax.jit
     def track_pair(a, b):
-        k1 = gs.ops.orb_extract(a, 500, 20)
-        k2 = gs.ops.orb_extract(b, 500, 20)
+        ks = gs.ops.orb_extract(jnp.stack([a, b]), 500, 20)  # one batch-2 pass
+        k1 = type(ks)(*(v[0] for v in ks))
+        k2 = type(ks)(*(v[1] for v in ks))
         # cap 500 == the keypoint budget, so the match count can never
         # saturate the table (r2: a 200 cap hid match-quality regressions)
         return gs.ops.match_orb(k1, k2, 500, 64)
