@@ -344,19 +344,47 @@ def _n_halo_views(r: int) -> int:
     return max(1, -(-r // 8))  # 8*ceil(r/8) halo rows per side
 
 
-@functools.partial(jax.jit, static_argnames=("radius",))
-def blur_pallas(imgs: jnp.ndarray, radius: int) -> jnp.ndarray:
+def _pad_blk(h: int, w: int, nv: int):
+    """(blk, padded_h) minimizing streamed rows: padded x (blk+16nv)/blk.
+
+    Heights whose largest divisor-block is small (e.g. 816 -> blk=16 with
+    nv=2 means 3x read amplification) instead PAD the bottom with zero rows
+    to a cheap block size (816 -> 896 runs blk=128 at 1.37x).  Zero pad
+    rows are exact for every stencil here: blur/adaptive count math uses
+    the REAL h and zero rows add nothing to window sums; sobel masks to the
+    real interior; filter3's zero pad == ``gs_get`` OOB-reads-0; morph
+    masks out-of-frame rows to the op-neutral value in-kernel."""
+    best = None
+    for blk in (256, 128, 64, 32, 16, 8):
+        if blk * w > 256 * 1024:
+            continue
+        hp = -(-h // blk) * blk
+        cost = hp * (blk + 16 * nv) / blk
+        if best is None or cost < best[2]:
+            best = (blk, hp, cost)
+    return best[:2] if best else (0, h)
+
+
+def _pad_rows(imgs: jnp.ndarray, hp: int) -> jnp.ndarray:
+    h = imgs.shape[1]
+    return imgs if hp == h else jnp.pad(imgs, ((0, 0), (0, hp - h), (0, 0)))
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "interpret"))
+def blur_pallas(imgs: jnp.ndarray, radius: int,
+                interpret: bool = False) -> jnp.ndarray:
     """(N, H, W) uint8 -> clipped-window box mean, bit-exact ``gs_blur``
     (grayskull.h:268-283) — the fused kernel's blur stage without the
     histogram contraction (the standalone XLA blur pays ~4 full-frame f32
     intermediates; this streams uint8 row blocks once)."""
     n, h, w = imgs.shape
     r = int(radius)
-    blk = _pick_block(h, w)
-    nb = h // blk
     nv = _n_halo_views(r)
-    halo_specs = _halo_specs_multi(blk, h, w, nv)
-    return pl.pallas_call(
+    blk, hp = _pad_blk(h, w, nv)
+    imgs = _pad_rows(imgs, hp)
+    nb = hp // blk
+    halo_specs = _halo_specs_multi(blk, hp, w, nv)
+    out = pl.pallas_call(
         functools.partial(_blur_only_kernel, r=r, h=h, w=w, blk=blk, nv=nv),
         grid=(n, nb),
         in_specs=[
@@ -365,24 +393,28 @@ def blur_pallas(imgs: jnp.ndarray, radius: int) -> jnp.ndarray:
         ],
         out_specs=pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((n, hp, w), jnp.uint8),
         scratch_shapes=[pltpu.VMEM((blk, blk + 16 * nv), jnp.bfloat16)],
+        interpret=interpret,
     )(imgs, *([imgs] * (2 * nv)))
+    return out[:, :h]
 
 
-@functools.partial(jax.jit, static_argnames=("radius",))
-def adaptive_pallas(imgs: jnp.ndarray, radius: int, c) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("radius", "interpret"))
+def adaptive_pallas(imgs: jnp.ndarray, radius: int, c,
+                    interpret: bool = False) -> jnp.ndarray:
     """(N, H, W) uint8 -> ``gs_adaptive_threshold`` (grayskull.h:230-247):
     ``src > clipped_mean - c ? 255 : 0`` with the mean from the same exact
     blur stage; ``c`` is a runtime int32 scalar (SMEM)."""
     n, h, w = imgs.shape
     r = int(radius)
-    blk = _pick_block(h, w)
-    nb = h // blk
     nv = _n_halo_views(r)
-    halo_specs = _halo_specs_multi(blk, h, w, nv)
+    blk, hp = _pad_blk(h, w, nv)
+    imgs = _pad_rows(imgs, hp)
+    nb = hp // blk
+    halo_specs = _halo_specs_multi(blk, hp, w, nv)
     cv = jnp.asarray(c, jnp.int32).reshape(1)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_adaptive_kernel, r=r, h=h, w=w, blk=blk, nv=nv),
         grid=(n, nb),
         in_specs=[
@@ -392,9 +424,11 @@ def adaptive_pallas(imgs: jnp.ndarray, radius: int, c) -> jnp.ndarray:
         ],
         out_specs=pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((n, hp, w), jnp.uint8),
         scratch_shapes=[pltpu.VMEM((blk, blk + 16 * nv), jnp.bfloat16)],
+        interpret=interpret,
     )(cv, imgs, *([imgs] * (2 * nv)))
+    return out[:, :h]
 
 
 def _sobel_kernel(x_ref, top_ref, bot_ref, out_ref, *, h: int, w: int, blk: int):
@@ -420,15 +454,16 @@ def _sobel_kernel(x_ref, top_ref, bot_ref, out_ref, *, h: int, w: int, blk: int)
     out_ref[0] = jnp.where(interior, mag, 0).astype(jnp.uint8)
 
 
-@jax.jit
-def sobel_pallas(imgs: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def sobel_pallas(imgs: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     """(N, H, W) uint8 -> interior Sobel magnitude ``(|gx|+|gy|)/2`` clipped
     to 255, zero border — bit-exact ``gs_sobel`` (grayskull.h:306-320)."""
     n, h, w = imgs.shape
-    blk = _pick_block(h, w)
-    nb = h // blk
-    top_spec, bot_spec = _halo_specs(blk, h, w)
-    return pl.pallas_call(
+    blk, hp = _pad_blk(h, w, 1)
+    imgs = _pad_rows(imgs, hp)
+    nb = hp // blk
+    top_spec, bot_spec = _halo_specs(blk, hp, w)
+    out = pl.pallas_call(
         functools.partial(_sobel_kernel, h=h, w=w, blk=blk),
         grid=(n, nb),
         in_specs=[
@@ -438,39 +473,46 @@ def sobel_pallas(imgs: jnp.ndarray) -> jnp.ndarray:
         ],
         out_specs=pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((n, hp, w), jnp.uint8),
+        interpret=interpret,
     )(imgs, imgs, imgs)
+    return out[:, :h]
 
 
-def _morph_kernel(x_ref, top_ref, bot_ref, out_ref, *, op: str, w: int,
-                  blk: int):
+def _morph_kernel(x_ref, top_ref, bot_ref, out_ref, *, op: str, h: int,
+                  w: int, blk: int):
     """3x3 clipped-window min/max — ``gs_erode``/``gs_dilate``
     (grayskull.h:286-304).  Separable: sublane pass then lane pass, with the
     op-neutral value (255 for min, 0 for max) standing in for out-of-frame
-    neighbors, exactly like the XLA ``reduce_window`` padding."""
+    neighbors, exactly like the XLA ``reduce_window`` padding.  Out-of-frame
+    is judged by ABSOLUTE row vs the real ``h`` (the frame may be padded to
+    a cheaper block size; pad rows are zeros, not neutral)."""
     j = pl.program_id(1)
-    nb = pl.num_programs(1)
     neutral = 255 if op == "erode" else 0
     f = jnp.minimum if op == "erode" else jnp.maximum
-    top = jnp.where(j > 0, top_ref[0, 7:8, :].astype(jnp.int32), neutral)
-    bot = jnp.where(j < nb - 1, bot_ref[0, 0:1, :].astype(jnp.int32), neutral)
-    rows = jnp.concatenate([top, x_ref[0].astype(jnp.int32), bot], axis=0)
+    rows = jnp.concatenate(
+        [top_ref[0, 7:8, :].astype(jnp.int32), x_ref[0].astype(jnp.int32),
+         bot_ref[0, 0:1, :].astype(jnp.int32)], axis=0)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (blk + 2, 1), 0) + j * blk - 1
+    rows = jnp.where((ii >= 0) & (ii < h), rows, neutral)
     sv = f(f(rows[0:blk, :], rows[1 : 1 + blk, :]), rows[2 : 2 + blk, :])
     pb = jnp.pad(sv, ((0, 0), (1, 1)), constant_values=neutral)
     out = f(f(pb[:, 0:w], pb[:, 1 : 1 + w]), pb[:, 2 : 2 + w])
     out_ref[0] = out.astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("op",))
-def morph_pallas(imgs: jnp.ndarray, op: str) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("op", "interpret"))
+def morph_pallas(imgs: jnp.ndarray, op: str,
+                 interpret: bool = False) -> jnp.ndarray:
     """(N, H, W) uint8 -> 3x3 clipped erode/dilate, bit-exact vs the XLA
     ``reduce_window`` path (which costs a full-frame int32 round trip)."""
     n, h, w = imgs.shape
-    blk = _pick_block(h, w)
-    nb = h // blk
-    top_spec, bot_spec = _halo_specs(blk, h, w)
-    return pl.pallas_call(
-        functools.partial(_morph_kernel, op=op, w=w, blk=blk),
+    blk, hp = _pad_blk(h, w, 1)
+    imgs = _pad_rows(imgs, hp)
+    nb = hp // blk
+    top_spec, bot_spec = _halo_specs(blk, hp, w)
+    out = pl.pallas_call(
+        functools.partial(_morph_kernel, op=op, h=h, w=w, blk=blk),
         grid=(n, nb),
         in_specs=[
             pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
@@ -479,8 +521,10 @@ def morph_pallas(imgs: jnp.ndarray, op: str) -> jnp.ndarray:
         ],
         out_specs=pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((n, hp, w), jnp.uint8),
+        interpret=interpret,
     )(imgs, imgs, imgs)
+    return out[:, :h]
 
 
 def _rank1_taps(taps):
@@ -564,17 +608,20 @@ def _filter3_kernel(x_ref, top_ref, bot_ref, out_ref, *, taps, norm: int,
     out_ref[0] = out.astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("taps", "norm"))
-def filter3_pallas(imgs: jnp.ndarray, taps, norm: int) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("taps", "norm", "interpret"))
+def filter3_pallas(imgs: jnp.ndarray, taps, norm: int,
+                   interpret: bool = False) -> jnp.ndarray:
     """(N, H, W) uint8 + static 3x3 int taps -> ``gs_filter``, bit-exact vs
     the XLA path in ``ops.pixel.filter2d`` (which pays ~4 full-frame int32
     intermediates; this streams uint8 blocks once).  Covers the sharpen /
-    emboss / box / gaussian presets (grayskull.h:249-253)."""
+    emboss / box / gaussian presets (grayskull.h:249-253).  Zero pad rows
+    need no in-kernel mask: ``gs_get`` reads 0 out of bounds."""
     n, h, w = imgs.shape
-    blk = _pick_block(h, w)
-    nb = h // blk
-    top_spec, bot_spec = _halo_specs(blk, h, w)
-    return pl.pallas_call(
+    blk, hp = _pad_blk(h, w, 1)
+    imgs = _pad_rows(imgs, hp)
+    nb = hp // blk
+    top_spec, bot_spec = _halo_specs(blk, hp, w)
+    out = pl.pallas_call(
         functools.partial(_filter3_kernel, taps=taps, norm=int(norm), w=w,
                           blk=blk),
         grid=(n, nb),
@@ -585,8 +632,10 @@ def filter3_pallas(imgs: jnp.ndarray, taps, norm: int) -> jnp.ndarray:
         ],
         out_specs=pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((n, hp, w), jnp.uint8),
+        interpret=interpret,
     )(imgs, imgs, imgs)
+    return out[:, :h]
 
 
 def _threshold_sobel_kernel(t_ref, x_ref, top_ref, bot_ref, *out_refs,
@@ -666,10 +715,15 @@ def fused_threshold_sobel(blurred: jnp.ndarray, thresholds: jnp.ndarray,
 
 
 def preproc_available(h: int, w: int, radius: int = 2) -> bool:
-    """Whether the grid-blocked fused kernels handle this frame geometry."""
+    """Whether the grid-blocked fused kernels handle this frame geometry.
+    Unlike the standalone stencils these cannot row-pad: the histogram
+    contraction counts every resident row, so pad zeros would pollute
+    bin 0 — h must divide into blocks exactly (``_pick_block``)."""
     return (
-        stencil_available(h, w, radius)
-        and radius <= _MAX_RADIUS
+        _pick_block(h, w) >= 8
+        and w >= 8
+        and h * w <= 16 * 1024 * 1024
+        and 1 <= radius <= _MAX_RADIUS
         and w % 128 == 0
         and w >= 128
     )
@@ -679,13 +733,16 @@ _MAX_RADIUS_STENCIL = 32  # 4 halo views/side; counts stay f32-exact (< 2^24)
 
 
 def stencil_available(h: int, w: int, radius: int = 1) -> bool:
-    """Geometry gate for the standalone blur/adaptive/sobel kernels.  Unlike
-    the fused pair these need no 128-divisible width: every block spans the
-    full array width, and a lane dim that spans the array is a legal Mosaic
-    BlockSpec (verified bit-exact at 816x612 on v5e).  Radii past the exact
-    magic-division range run the f32-fixup division (``_fixup_div``)."""
+    """Geometry gate for the standalone blur/adaptive/sobel/morph/filter3
+    kernels.  Unlike the fused pair these need no 128-divisible width (every
+    block spans the full array width, a legal Mosaic BlockSpec — verified
+    bit-exact at 816x612 on v5e) and no block-divisible height: awkward
+    heights are zero-padded to a cheap block size (``_pad_blk``), exact
+    because each kernel judges out-of-frame by absolute row vs the real h.
+    Radii past the exact magic-division range run the f32-fixup division
+    (``_fixup_div``)."""
     return (
-        _pick_block(h, w) >= 8
+        _pad_blk(h, w, _n_halo_views(radius))[0] >= 8
         and w >= 8
         and 1 <= radius <= _MAX_RADIUS_STENCIL
         and h * w <= 16 * 1024 * 1024

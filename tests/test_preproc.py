@@ -145,6 +145,53 @@ def test_sobel_morph_pallas_match_oracle(oracle, rng):
         np.testing.assert_array_equal(chain[i], ref)
 
 
+def test_stencil_row_padding_interpret(oracle, rng):
+    """Awkward (non-block-divisible) heights run the standalone stencils by
+    zero-padding rows to a cheap block size (kernels/preproc.py _pad_blk);
+    checked bit-exact vs the C oracle in Pallas interpret mode on CPU —
+    covers blur's real-h count clipping, morph's absolute-row neutral mask,
+    sobel's interior mask and filter3's OOB-reads-0 pad equivalence."""
+    import jax.numpy as jnp
+
+    from grayskull_tpu.kernels.preproc import (_pad_blk, adaptive_pallas,
+                                               blur_pallas, filter3_pallas,
+                                               morph_pallas, sobel_pallas,
+                                               stencil_available)
+
+    # the motivating geometry: 816 rows would run blk=16 (3x read
+    # amplification); padding to 896 runs blk=128 at 1.37x
+    assert _pad_blk(816, 612, 2) == (128, 896)
+    assert stencil_available(13, 136) and stencil_available(129, 136)
+
+    sharpen = ((0, -1, 0), (-1, 5, -1), (0, -1, 0))
+    for h in (13, 100, 129):
+        img = rng.integers(0, 256, (1, h, 136), dtype=np.uint8)
+        jb = jnp.asarray(img)
+        np.testing.assert_array_equal(
+            np.asarray(blur_pallas(jb, 2, interpret=True))[0],
+            oracle.blur(img[0], 2), err_msg=f"blur h={h}")
+        # r=9 exercises nv=2 halo views over the padded frame
+        np.testing.assert_array_equal(
+            np.asarray(blur_pallas(jb, 9, interpret=True))[0],
+            oracle.blur(img[0], 9), err_msg=f"blur r=9 h={h}")
+        np.testing.assert_array_equal(
+            np.asarray(adaptive_pallas(jb, 3, 5, interpret=True))[0],
+            oracle.adaptive_threshold(img[0], 3, 5), err_msg=f"adaptive h={h}")
+        np.testing.assert_array_equal(
+            np.asarray(sobel_pallas(jb, interpret=True))[0],
+            oracle.sobel(img[0]), err_msg=f"sobel h={h}")
+        np.testing.assert_array_equal(
+            np.asarray(morph_pallas(jb, "erode", interpret=True))[0],
+            oracle.erode(img[0]), err_msg=f"erode h={h}")
+        np.testing.assert_array_equal(
+            np.asarray(morph_pallas(jb, "dilate", interpret=True))[0],
+            oracle.dilate(img[0]), err_msg=f"dilate h={h}")
+        np.testing.assert_array_equal(
+            np.asarray(filter3_pallas(jb, sharpen, 1, interpret=True))[0],
+            oracle.filter(np.asarray(img[0]), np.asarray(sharpen, np.int8), 1),
+            err_msg=f"filter3 h={h}")
+
+
 @pytest.mark.tpu
 @pytest.mark.skipif(not _tpu_default(), reason="pallas kernels need TPU as default device")
 def test_filter_pallas_match_oracle(oracle, rng):
