@@ -179,6 +179,10 @@ def main():
 
         dt = timeit(adaptive_morph, rb, iters=iters)
         results["adaptive_morph_816x612_fps"] = nb2 / dt
+        # odd geometry (612 % 128 != 0) exercises the stencil-composed
+        # preprocess middle tier (row-padded blur/sobel + XLA otsu)
+        dt = timeit(lambda x: gs.pipelines.preprocess(x), rb, iters=iters)
+        results["preprocess_816x612_fps"] = nb2 / dt
         if orc:
             t0 = time.perf_counter()
             orc.erode(orc.dilate(orc.adaptive_threshold(rec, 15, 5)))

@@ -15,7 +15,9 @@ import jax
 import jax.numpy as jnp
 
 from ..core import on_tpu as _on_tpu
-from ..kernels.preproc import fused_blur_hist, fused_threshold_sobel, preproc_available
+from ..kernels.preproc import (blur_pallas, fused_blur_hist,
+                               fused_threshold_sobel, preproc_available,
+                               sobel_pallas, stencil_available)
 from ..ops.histogram import histogram, otsu_from_histogram
 from ..ops.pixel import blur, sobel, threshold
 
@@ -45,6 +47,21 @@ def _preprocess_pallas(imgs: jnp.ndarray, radius: int, want_binary: bool = True)
     return blurred, binary, edges, t
 
 
+@functools.partial(jax.jit, static_argnames=("radius", "interpret"))
+def _preprocess_stencil(imgs: jnp.ndarray, radius: int,
+                        interpret: bool = False):
+    """Middle tier for geometries the fused pair can't take (w not
+    128-divisible, or heights the histogram kernel can't row-pad): the
+    standalone row-padded stencils do blur and sobel (2 B/px each), the
+    histogram/threshold stages stay XLA.  ~7 B/px vs the composed XLA
+    path's several full-frame f32 intermediates; bit-exact either way."""
+    blurred = blur_pallas(imgs, radius, interpret=interpret)
+    t = otsu_from_histogram(histogram(blurred), imgs.shape[-2] * imgs.shape[-1])
+    binary = threshold(blurred, t[:, None, None])
+    edges = sobel_pallas(binary, interpret=interpret)
+    return blurred, binary, edges, t
+
+
 def preprocess(imgs: jnp.ndarray, radius: int = 2, force_xla: bool = False,
                want_binary: bool = True):
     """blur -> otsu -> threshold -> sobel, fused.  (N, H, W) or (H, W) uint8.
@@ -57,9 +74,13 @@ def preprocess(imgs: jnp.ndarray, radius: int = 2, force_xla: bool = False,
     single = imgs.ndim == 2
     batch = imgs[None] if single else imgs
     h, w = batch.shape[-2:]
-    use_pallas = not force_xla and preproc_available(h, w, radius) and _on_tpu()
-    if use_pallas:
+    on_tpu = not force_xla and _on_tpu()
+    if on_tpu and preproc_available(h, w, radius):
         out = _preprocess_pallas(batch, radius, want_binary)
+    elif on_tpu and stencil_available(h, w, radius):
+        out = _preprocess_stencil(batch, radius)
+        if not want_binary:
+            out = (out[0], None, out[2], out[3])
     else:
         out = preprocess_reference(batch, radius)
         if not want_binary:

@@ -192,6 +192,22 @@ def test_stencil_row_padding_interpret(oracle, rng):
             err_msg=f"filter3 h={h}")
 
 
+def test_preprocess_stencil_tier_interpret(rng):
+    """Geometries the fused pair rejects (w % 128 != 0 / awkward h) run the
+    stencil-composed middle tier on TPU; interpret mode checks it is
+    bit-identical to the composed-XLA reference path."""
+    from grayskull_tpu.kernels.preproc import preproc_available, stencil_available
+    from grayskull_tpu.pipelines.preproc import _preprocess_stencil
+
+    h, w = 97, 200
+    assert not preproc_available(h, w) and stencil_available(h, w)
+    imgs = rng.integers(0, 256, (2, h, w), dtype=np.uint8)
+    got = _preprocess_stencil(imgs, 2, interpret=True)
+    ref = preprocess_reference(imgs, 2)
+    for name, a, b in zip(("blurred", "binary", "edges", "t"), got, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
+
+
 @pytest.mark.tpu
 @pytest.mark.skipif(not _tpu_default(), reason="pallas kernels need TPU as default device")
 def test_filter_pallas_match_oracle(oracle, rng):
