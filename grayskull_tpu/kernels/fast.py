@@ -30,40 +30,36 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .preproc import _halo_specs
+from .preproc import _halo_specs, _pad_blk, _pad_rows
 
 __all__ = ["fast_pallas", "fast_pallas_available"]
 
-
-def _pick_block(h: int, w: int) -> int:
-    """Row-block size for the FAST kernel.
-
-    The kernel keeps ~30 (blk+2, W) int32 intermediates live (16 circle
-    views, run counters, diffs), so its VMEM budget is much tighter than the
-    preproc kernels': blk*W <= 48K keeps the working set ~6 MB (a 256x512
-    frame at preproc's 256K bound hit a 33 MB scoped-vmem OOM).
-    """
-    for blk in (256, 128, 64, 32, 16, 8):
-        if h % blk == 0 and blk * w <= 48 * 1024:
-            return blk
-    return 0
+# The kernel keeps ~30 (blk+2, W) int32 intermediates live (16 circle
+# views, run counters, diffs), so its VMEM budget is much tighter than the
+# preproc kernels': blk*W <= 48K keeps the working set ~6 MB (a 256x512
+# frame at preproc's 256K bound hit a 33 MB scoped-vmem OOM).  Awkward
+# heights zero-pad to the cost-optimal block (preproc._pad_blk): pad rows
+# are inert — the interior mask uses the real h, so they score 0 and emit
+# no keys, and interior circle windows never reach them.
+_VMEM_BUDGET = 48 * 1024
 
 # FAST Bresenham circle of radius 3 (grayskull.h:485-486)
 _CDX = (0, 1, 2, 3, 3, 3, 2, 1, 0, -1, -2, -3, -3, -3, -2, -1)
 _CDY = (-3, -3, -2, -1, 0, 1, 2, 3, 3, 3, 2, 1, 0, -1, -2, -3)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def fast_pallas(imgs: jnp.ndarray, threshold):
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fast_pallas(imgs: jnp.ndarray, threshold, interpret: bool = False):
     """(N, H, W) uint8 + threshold -> (score uint8 (N,H,W), key int32 (N,H,W)).
 
     ``key`` is nonzero exactly at scan-order-NMS corners; ``top_k`` over the
     flattened keys gives the first ``cap`` corners in raster order.
     """
     n, h, w = imgs.shape
-    blk = _pick_block(h, w)
+    blk, hp = _pad_blk(h, w, 1, budget=_VMEM_BUDGET)
     wp = -(-w // 128) * 128
     x = jnp.pad(imgs, ((0, 0), (0, 0), (0, wp - w)))
+    x = _pad_rows(x, hp)
     thr = jnp.asarray(threshold, jnp.int32)
 
     def kernel(t_ref, x_ref, top_ref, bot_ref, score_ref, key_ref):
@@ -127,8 +123,8 @@ def fast_pallas(imgs: jnp.ndarray, threshold):
         key = jnp.where(is_max, ((jnp.int32(h * w) - idx) << 8) | smid, 0)
         key_ref[0] = key
 
-    nb = h // blk
-    top_spec, bot_spec = _halo_specs(blk, h, wp)
+    nb = hp // blk
+    top_spec, bot_spec = _halo_specs(blk, hp, wp)
     score, key = pl.pallas_call(
         kernel,
         grid=(n, nb),
@@ -143,12 +139,14 @@ def fast_pallas(imgs: jnp.ndarray, threshold):
             pl.BlockSpec((1, blk, wp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, h, wp), jnp.uint8),
-            jax.ShapeDtypeStruct((n, h, wp), jnp.int32),
+            jax.ShapeDtypeStruct((n, hp, wp), jnp.uint8),
+            jax.ShapeDtypeStruct((n, hp, wp), jnp.int32),
         ],
+        interpret=interpret,
     )(thr.reshape(1), x, x, x)
-    return score[:, :, :w], key[:, :, :w]
+    return score[:, :h, :w], key[:, :h, :w]
 
 
 def fast_pallas_available(h: int, w: int) -> bool:
-    return _pick_block(h, w) >= 8 and w >= 8 and h * w < (1 << 23)
+    return (_pad_blk(h, w, 1, budget=_VMEM_BUDGET)[0] >= 8 and w >= 8
+            and h * w < (1 << 23))

@@ -344,7 +344,7 @@ def _n_halo_views(r: int) -> int:
     return max(1, -(-r // 8))  # 8*ceil(r/8) halo rows per side
 
 
-def _pad_blk(h: int, w: int, nv: int):
+def _pad_blk(h: int, w: int, nv: int, budget: int = 256 * 1024):
     """(blk, padded_h) minimizing streamed rows: padded x (blk+16nv)/blk.
 
     Heights whose largest divisor-block is small (e.g. 816 -> blk=16 with
@@ -353,10 +353,11 @@ def _pad_blk(h: int, w: int, nv: int):
     rows are exact for every stencil here: blur/adaptive count math uses
     the REAL h and zero rows add nothing to window sums; sobel masks to the
     real interior; filter3's zero pad == ``gs_get`` OOB-reads-0; morph
-    masks out-of-frame rows to the op-neutral value in-kernel."""
+    masks out-of-frame rows to the op-neutral value in-kernel.  ``budget``
+    caps blk*w for kernels with tighter VMEM working sets (FAST)."""
     best = None
     for blk in (256, 128, 64, 32, 16, 8):
-        if blk * w > 256 * 1024:
+        if blk * w > budget:
             continue
         hp = -(-h // blk) * blk
         cost = hp * (blk + 16 * nv) / blk

@@ -288,6 +288,37 @@ def test_fast_pallas_matches_xla(testdata):
         )
 
 
+def test_fast_pallas_row_padding_interpret(testdata):
+    """Awkward heights (no divisor block) run the FAST kernel via zero row
+    padding; interpret mode on CPU checks score map AND packed NMS keys are
+    bit-exact vs the XLA formulation.  Pad rows are inert: the interior mask
+    uses the real h, so they score 0 and emit no keys."""
+    import jax.numpy as jnp
+
+    from grayskull_tpu.kernels.fast import fast_pallas, fast_pallas_available
+    from grayskull_tpu.ops.features import fast_scoremap
+
+    img = np.asarray(testdata["aruco"])[:97]  # 97 rows: no divisor block
+    h, w = img.shape
+    assert fast_pallas_available(h, w)
+    for thr in (5, 20):
+        s_p, k_p = fast_pallas(jnp.asarray(img)[None], thr, interpret=True)
+        s_ref = np.asarray(fast_scoremap(jnp.asarray(img), thr))
+        np.testing.assert_array_equal(np.asarray(s_p)[0], s_ref, err_msg=f"thr={thr}")
+        # XLA key construction (the fast() else-branch semantics)
+        s = s_ref.astype(np.int32)
+        sp = np.pad(s, 1)
+        is_max = s > 0
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                is_max &= ~(sp[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w] > s)
+        idx = np.arange(h * w, dtype=np.int32).reshape(h, w)
+        k_ref = np.where(is_max, ((h * w - idx) << 8) | s, 0)
+        np.testing.assert_array_equal(np.asarray(k_p)[0], k_ref, err_msg=f"keys thr={thr}")
+
+
 def test_brief_oob_keypoints_match_scalar_path(testdata):
     """Batched rBRIEF must equal the scalar gs_get-parity path even for
     keypoints outside the C border contract (ADVICE r2 #1): the patch-offset
