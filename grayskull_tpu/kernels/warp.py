@@ -46,10 +46,12 @@ def _round(v: int, m: int) -> int:
 def quad_sample_available(sh: int, sw: int, dh: int, dw: int) -> bool:
     # the padded source frame rides as one revisited int16 VMEM block
     # (Mosaic dynamic sublane/lane slicing needs i16/i32, not i8; int32
-    # blocks OOMed once batched grids double-buffer the next frame)
+    # blocks OOMed once batched grids double-buffer the next frame).
+    # Any dh works: the caller edge-replicates the last coordinate row to a
+    # multiple of 8 (ops/warp.py), which cannot widen any block's band span.
     shp = _round(sh, 16) + BAND_K
     swp = _round(sw, 128) + BAND_KX
-    return dh % 8 == 0 and sw >= 128 and shp * swp * 2 <= 4 * 1024 * 1024 and dw >= 8
+    return dh >= 1 and sw >= 128 and shp * swp * 2 <= 4 * 1024 * 1024 and dw >= 8
 
 
 def _sample_kernel(bs_ref, cs_ref, src_ref, y0_ref, y1_ref, x0_ref, x1_ref,
@@ -91,8 +93,8 @@ def _sample_kernel(bs_ref, cs_ref, src_ref, y0_ref, y1_ref, x0_ref, x1_ref,
         c11_ref[0, r : r + 1, :] = jnp.sum(cs1 * sel1, axis=0, keepdims=True)
 
 
-@jax.jit
-def _quad_sample_pallas(srcp, y0, y1, x0, x1, bs, cs):
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _quad_sample_pallas(srcp, y0, y1, x0, x1, bs, cs, interpret=False):
     n, dh, dwp = y0.shape
     shp, swp = srcp.shape[1:]
     nblk = dh // 8
@@ -113,17 +115,18 @@ def _quad_sample_pallas(srcp, y0, y1, x0, x1, bs, cs):
         functools.partial(_sample_kernel, dwp=dwp),
         grid_spec=grid_spec,
         out_shape=[shape] * 4,
+        interpret=interpret,
     )(bs, cs, srcp, y0, y1, x0, x1)
 
 
-def quad_sample(src, y0, y1, x0, x1):
+def quad_sample(src, y0, y1, x0, x1, interpret=False):
     """Corner samples ``src[y?, x?]`` for the quad warp, gather-free.
 
     ``src``: (N, sh, sw) uint8; coordinate maps (N, dh, dw) int32 (already
-    clamped in-bounds).  Returns four (N, dh, dw) float32 maps and an
-    ``ok`` bool scalar — when False (a block's span exceeded the static
-    band) the caller must use the gather path; when True the maps hold
-    exactly ``src[y, x].astype(f32)``.
+    clamped in-bounds, dh a multiple of 8).  Returns four (N, dh, dw)
+    float32 maps and an ``ok`` bool scalar — when False (a block's span
+    exceeded the static band) the caller must use the gather path; when
+    True the maps hold exactly ``src[y, x].astype(f32)``.
     """
     n, sh, sw = src.shape
     dh, dw = y0.shape[-2:]
@@ -156,6 +159,7 @@ def quad_sample(src, y0, y1, x0, x1):
 
     srcp = jnp.pad(src, ((0, 0), (0, shp - sh), (0, swp - sw))).astype(jnp.int16)
     c00, c01, c10, c11 = _quad_sample_pallas(
-        srcp, y0p, y1p, x0p, x1p, bs.reshape(-1), cs.reshape(-1)
+        srcp, y0p, y1p, x0p, x1p, bs.reshape(-1), cs.reshape(-1),
+        interpret=interpret,
     )
     return (c00[:, :, :dw], c01[:, :, :dw], c10[:, :, :dw], c11[:, :, :dw]), ok

@@ -82,22 +82,33 @@ def _warp_rows(src: jnp.ndarray, corners: jnp.ndarray, u: jnp.ndarray,
                       gather(y1, x1), dy, dx)
 
 
-@functools.partial(jax.jit, static_argnames=("size",))
-def _warp_batched_tpu(srcs: jnp.ndarray, corners: jnp.ndarray, size):
+@functools.partial(jax.jit, static_argnames=("size", "interpret"))
+def _warp_batched_tpu(srcs: jnp.ndarray, corners: jnp.ndarray, size,
+                      interpret: bool = False):
     """Batched warp with the Pallas band sampler (kernels/warp.py): corner
     samples via one-hot MXU selects instead of serialized gathers (measured
     34 ms -> ~3 ms per 1000x800 page), with a runtime fallback to the
-    gather path when a block's source span exceeds the static band."""
+    gather path when a block's source span exceeds the static band.
+
+    Page heights that are not multiples of 8 edge-replicate the LAST
+    coordinate row up to the block size (replicated rows have the same
+    source span as the real last row, so band limits are untouched) and
+    slice the extra sample rows off before the lerp — exact."""
     from ..kernels.warp import quad_sample
 
     dh, dw = size
+    dhp = -(-dh // 8) * 8
     u = jnp.asarray(np.arange(dw, dtype=np.float32) / np.float32(dw - 1.0))
     v = jnp.asarray(np.arange(dh, dtype=np.float32) / np.float32(dh - 1.0))
     coords = jax.vmap(
         lambda cc: _warp_coords(srcs.shape[-2:], cc, u, v)
     )(corners)
     y0, y1, x0, x1, dy, dx = coords
-    sampled, ok = quad_sample(srcs, y0, y1, x0, x1)
+    if dhp != dh:
+        rpad = ((0, 0), (0, dhp - dh), (0, 0))
+        y0, y1, x0, x1 = (jnp.pad(a, rpad, mode="edge")
+                          for a in (y0, y1, x0, x1))
+    sampled, ok = quad_sample(srcs, y0, y1, x0, x1, interpret=interpret)
 
     def use_sampled(_):
         return sampled
@@ -110,6 +121,8 @@ def _warp_batched_tpu(srcs: jnp.ndarray, corners: jnp.ndarray, size):
         return jax.vmap(one)(srcs, y0, y1, x0, x1)
 
     c00, c01, c10, c11 = jax.lax.cond(ok, use_sampled, use_gather, None)
+    if dhp != dh:
+        c00, c01, c10, c11 = (c[:, :dh] for c in (c00, c01, c10, c11))
     return _warp_lerp(c00, c01, c10, c11, dy, dx)
 
 

@@ -117,6 +117,27 @@ def test_perspective_random_quads_parity(oracle, rng, trial):
     assert np.array_equal(ours, ref), np.argwhere(ours != ref)[:5]
 
 
+def test_warp_kernel_odd_height_interpret(oracle, testdata):
+    """The Pallas band sampler takes page heights that are not multiples of
+    8 by edge-replicating the last coordinate row (ops/warp.py); interpret
+    mode pins the full odd-height page bit-exact vs the C oracle."""
+    import jax.numpy as jnp
+
+    from grayskull_tpu.kernels.warp import quad_sample_available
+    from grayskull_tpu.ops.warp import _warp_batched_tpu
+
+    img = np.asarray(testdata["document"])
+    h, w = img.shape
+    c = corners_arr((int(w * 0.1), int(h * 0.15)), (int(w * 0.9), int(h * 0.1)),
+                    (int(w * 0.85), int(h * 0.9)), (int(w * 0.12), int(h * 0.88)))
+    size = (347, 200)  # dh % 8 == 3
+    assert quad_sample_available(h, w, *size)
+    got = _warp_batched_tpu(jnp.asarray(img)[None],
+                            jnp.asarray(c)[None], size, interpret=True)
+    ref = oracle.perspective_correct(img, c, *size)
+    np.testing.assert_array_equal(np.asarray(got)[0], ref)
+
+
 def test_perspective_document_scan_quad(oracle, testdata):
     img = testdata["document"]
     h, w = img.shape
