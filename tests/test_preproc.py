@@ -96,6 +96,11 @@ def test_blur_adaptive_pallas_match_oracle(oracle, rng):
     ref_odd = oracle.blur(imgs_odd[0], 2)
     np.testing.assert_array_equal(
         np.asarray(blur_pallas(jnp.asarray(imgs_odd), 2))[0], ref_odd)
+    # awkward height (no divisor block): the row-padding path on real TPU
+    imgs_pad = rng.integers(0, 256, (1, 97, 612), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(blur_pallas(jnp.asarray(imgs_pad), 2))[0],
+        oracle.blur(imgs_pad[0], 2))
     # r <= 6 exercises the exact-magic division, r > 6 the f32-fixup
     # division and the multi-view (16/24-row) halos
     for r in (1, 2, 5, 6, 7, 16):
