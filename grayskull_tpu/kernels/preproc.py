@@ -360,7 +360,9 @@ def _pad_blk(h: int, w: int, nv: int, budget: int = 256 * 1024):
         if blk * w > budget:
             continue
         hp = -(-h // blk) * blk
-        cost = hp * (blk + 16 * nv) / blk
+        # streamed rows: input block + halo views per grid step, plus the
+        # padded output write
+        cost = hp * ((blk + 16 * nv) / blk + 1)
         if best is None or cost < best[2]:
             best = (blk, hp, cost)
     return best[:2] if best else (0, h)
