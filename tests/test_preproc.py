@@ -50,6 +50,13 @@ def test_pallas_matches_xla(rng):
     out_r = preprocess(imgs, force_xla=True)
     for name, a, b in zip(("blurred", "binary", "edges", "t"), out_p, out_r):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
+    # odd geometry dispatches to the stencil-composed middle tier
+    odd = rng.integers(0, 256, (2, 97, 200), dtype=np.uint8)
+    out_s = preprocess(odd)
+    out_x = preprocess(odd, force_xla=True)
+    for name, a, b in zip(("blurred", "binary", "edges", "t"), out_s, out_x):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=f"stencil tier {name}")
 
 
 def test_otsu_from_histogram_matches_otsu(rng):
