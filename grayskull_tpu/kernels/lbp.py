@@ -287,9 +287,14 @@ def _stage_chunks(cascade, nchunks: int):
         acc += int(cascade.stage_nweaks[si])
         if acc >= total / nchunks * len(bounds) and len(bounds) < nchunks:
             bounds.append(si + 1)
-    bounds.append(cascade.nstages)
+    bounds.append(int(cascade.nstages))
+    # back-loaded stage weights can cross the last split threshold only at
+    # the final stage (e.g. stage_nweaks=[1, 99], nchunks=2 -> [0, 2, 2]);
+    # drop the duplicate rather than emit an empty chunk whose
+    # stage_weak_start[s_lo] would index past the table
+    bounds = sorted(set(bounds))
     out = []
-    for ci in range(nchunks):
+    for ci in range(len(bounds) - 1):
         s_lo, s_hi = bounds[ci], bounds[ci + 1]
         k_lo = int(cascade.stage_weak_start[s_lo])
         k_hi = (int(cascade.stage_weak_start[s_hi - 1])

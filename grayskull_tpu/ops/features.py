@@ -545,16 +545,20 @@ def _select_candidates_sort(kps, valid, cap: int, radius: int, h: int, w: int):
 def _select_candidates_approx(kps, valid, cap: int, radius: int, h: int, w: int):
     """TPU formulation, same table bit-for-bit: the selection IS "top ``cap``
     border-ok candidates by (response desc, candidate scan order asc)" — one
-    exact ``approx_max_k`` over packed keys ``response << 12 | inverse_rank``
-    (< 2^20, so f32-exact and tie-free) replaces the stable argsort + 4
-    gathers + rank-scatter compaction.  Border filtering commutes with
-    selection because it depends only on (x, y), so it masks the keys up
-    front.  ``tests/test_features.py`` pins this equal to the sort path."""
+    exact ``approx_max_k`` over packed keys ``response << 13 | inverse_rank``
+    (< 2^21, so f32-exact and tie-free) replaces the stable argsort + 4
+    gathers + rank-scatter compaction.  The 13-bit rank field must cover
+    ``cand_cap`` (<= 5000 by ``_orb_select``'s budget; a narrower field would
+    let the rank overflow into the response bits and invert the order).
+    Border filtering commutes with selection because it depends only on
+    (x, y), so it masks the keys up front.  ``tests/test_features.py`` pins
+    this equal to the sort path."""
     cand_cap = kps.x.shape[0]
+    assert cand_cap < (1 << 13), cand_cap
     border_ok = ((kps.x >= radius) & (kps.y >= radius)
                  & (kps.x < w - radius) & (kps.y < h - radius))
     inv = cand_cap - jnp.arange(cand_cap, dtype=jnp.int32)
-    packed = jnp.where(valid & border_ok, (kps.response << 12) | inv, 0)
+    packed = jnp.where(valid & border_ok, (kps.response << 13) | inv, 0)
     k_out = min(cap, cand_cap)
     vals_f, idxs = jax.lax.approx_max_k(
         packed.astype(jnp.float32), k_out, recall_target=1.0)

@@ -395,7 +395,12 @@ def lbp_warm_start(cascade: LbpCascade, ih: int, iw: int, nb: int = 1,
     def compile_one(entry):
         e, pallas_ok = entry
         hits = _scale_calls(cascade, iib, iip, [e], [pallas_ok], step)
-        np.asarray(hits[0])  # readback fence (block_until_ready can be a no-op)
+        # one-element readback fence (block_until_ready can be a no-op, and a
+        # full np.asarray would ship each scale's multi-MB hit mask back
+        # through the tunnel)
+        from ..profiling import sync
+
+        sync(hits[0])
 
     with ThreadPoolExecutor(max_workers=max_workers) as ex:
         list(ex.map(compile_one, zip(plan, use_pallas)))

@@ -367,7 +367,13 @@ def filter2d(img: jnp.ndarray, kernel, norm: int) -> jnp.ndarray:
     if norm <= 0:
         raise ValueError("norm must be > 0")
     h, w = img.shape[-2:]
-    if (kh, kw) == (3, 3) and norm < 16_000_000 and img.dtype == jnp.uint8:
+    # the Pallas stencil's negative-sum-wraps-to-255 shortcut (and its f32
+    # fixup division) is proven only for int8-range taps — the reference's
+    # own domain (gs_filter reinterprets a uint8 kernel image as int8);
+    # wider taps (API extension) stay on the XLA u32-wrap path
+    in_int8 = kernel.min() >= -128 and kernel.max() <= 127
+    if ((kh, kw) == (3, 3) and norm < 16_000_000 and in_int8
+            and img.dtype == jnp.uint8):
         from ..kernels import preproc as kp
 
         if _on_tpu() and kp.stencil_available(h, w):

@@ -63,10 +63,12 @@ def warm_start(h: int, w: int, batch: int = 1, cascade: LbpCascade | None = None
     """
     if cascade is None:
         cascade = load_frontalface()
-    import numpy as np
+    from ..profiling import sync
 
     img = jnp.zeros((batch, h, w), jnp.uint8)
-    np.asarray(integral(img))  # compile the integral for this geometry
+    sync(integral(img))  # compile the integral for this geometry (one-element
+    # fence — a full np.asarray readback would ship the ~39 MB batch integral
+    # back through the ~5 ms/MB tunnel just to wait on the compile)
     return lbp_warm_start(cascade, h, w, nb=batch, max_rects=max_rects,
                           scale_factor=scale_factor, min_scale=min_scale,
                           max_scale=max_scale, step=step,

@@ -94,3 +94,15 @@ def rng():
     # parser (and our faithful codecs) cannot read back (see
     # test_native.test_whitespace_first_pixel_quirk)
     return np.random.default_rng(1234)
+
+
+def tpu_default():
+    """True when Pallas kernels will actually dispatch to a TPU: backend is
+    TPU and the default device has not been pinned elsewhere (e.g. to CPU by
+    this conftest).  Shared by the @pytest.mark.tpu skipifs."""
+    import jax
+
+    d = jax.config.jax_default_device
+    return jax.default_backend() == "tpu" and (
+        d is None or getattr(d, "platform", "tpu") == "tpu"
+    )

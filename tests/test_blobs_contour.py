@@ -344,13 +344,7 @@ def test_blobs_past_capacity_divergence_pinned(oracle):
     )
 
 
-def _tpu_default():
-    import jax
-
-    d = jax.config.jax_default_device
-    return jax.default_backend() == "tpu" and (
-        d is None or getattr(d, "platform", "tpu") == "tpu"
-    )
+from tests.conftest import tpu_default as _tpu_default  # noqa: E402
 
 
 @pytest.mark.tpu

@@ -242,13 +242,7 @@ def test_track_same_shape_batches_pair(testdata):
                                           err_msg=f)
 
 
-def _tpu_default():
-    import jax
-
-    d = jax.config.jax_default_device
-    return jax.default_backend() == "tpu" and (
-        d is None or getattr(d, "platform", "tpu") == "tpu"
-    )
+from tests.conftest import tpu_default as _tpu_default  # noqa: E402
 
 
 @pytest.mark.tpu
@@ -351,15 +345,6 @@ def test_fast_negative_threshold_clamped(testdata):
     assert int(kn.n) == int(k0.n)
 
 
-def _tpu_default():
-    import jax
-
-    d = jax.config.jax_default_device
-    return jax.default_backend() == "tpu" and (
-        d is None or getattr(d, "platform", "tpu") == "tpu"
-    )
-
-
 @pytest.mark.tpu
 @pytest.mark.skipif(not _tpu_default(), reason="Pallas patch kernel needs TPU")
 def test_orb_patch_kernel_matches_cpu(testdata):
@@ -422,3 +407,23 @@ def test_orb_candidate_selection_paths_agree(testdata, rng):
     b = _select_candidates_approx(flat, valid, 100, 15, h, w)
     for fa, fb in zip(a, b):
         np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+    # full 5000-candidate budget (orb_extract with max_kps >= 1250): the rank
+    # field must hold ranks > 4095 without spilling into the response bits —
+    # a 12-bit pack ranked a (response 10, rank 4900) candidate ABOVE a
+    # (response 11, rank 1) one
+    cand_cap = 5000
+    wide = Keypoints(
+        n=jnp.int32(cand_cap),
+        x=jnp.asarray(rng.integers(20, w - 20, cand_cap, dtype=np.int32)),
+        y=jnp.asarray(rng.integers(20, h - 20, cand_cap, dtype=np.int32)),
+        response=jnp.asarray(rng.integers(0, 256, cand_cap, dtype=np.int32)),
+        angle=jnp.zeros(cand_cap, jnp.float32),
+        descriptor=jnp.zeros((cand_cap, 8), jnp.uint32),
+    )
+    valid = jnp.arange(cand_cap) < cand_cap
+    for cap in (2000, 4200):
+        a = _select_candidates_sort(wide, valid, cap, 15, h, w)
+        b = _select_candidates_approx(wide, valid, cap, 15, h, w)
+        for fa, fb, name in zip(a, b, ("n", "x", "y", "r")):
+            np.testing.assert_array_equal(
+                np.asarray(fa), np.asarray(fb), err_msg=f"{name} cap={cap}")

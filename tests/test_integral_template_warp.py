@@ -148,13 +148,7 @@ def test_perspective_document_scan_quad(oracle, testdata):
     assert np.array_equal(ours, ref), np.argwhere(ours != ref)[:5]
 
 
-def _tpu_default():
-    import jax
-
-    d = jax.config.jax_default_device
-    return jax.default_backend() == "tpu" and (
-        d is None or getattr(d, "platform", "tpu") == "tpu"
-    )
+from tests.conftest import tpu_default as _tpu_default  # noqa: E402
 
 
 @pytest.mark.tpu
@@ -170,15 +164,6 @@ def test_integral_pallas_matches_xla(rng):
     batch = rng.integers(0, 256, (3, 256, 384), dtype=np.uint8)
     np.testing.assert_array_equal(
         np.asarray(gs.integral(batch)), np.asarray(gs.integral(batch, force_xla=True))
-    )
-
-
-def _tpu_default():
-    import jax
-
-    d = jax.config.jax_default_device
-    return jax.default_backend() == "tpu" and (
-        d is None or getattr(d, "platform", "tpu") == "tpu"
     )
 
 

@@ -153,13 +153,7 @@ def test_opencv_xml_loader(tmp_path, cascade):
     assert np.isclose(c.weak_left_val[0], -0.6)
 
 
-def _tpu_default():
-    import jax
-
-    d = jax.config.jax_default_device
-    return jax.default_backend() == "tpu" and (
-        d is None or getattr(d, "platform", "tpu") == "tpu"
-    )
+from tests.conftest import tpu_default as _tpu_default  # noqa: E402
 
 
 @pytest.mark.tpu
@@ -263,3 +257,34 @@ def test_lbp_warm_start_empty_ladder():
     assert lbp_warm_start(cas, 16, 16) >= 0.0
     r = lbp_detect(cas, np.zeros((16, 16), np.uint32), 10)
     assert int(r.n) == 0
+
+
+def test_stage_chunks_back_loaded_cascade():
+    """Stage splits where the cumulative weak count only crosses the last
+    threshold at the final stage must not emit an empty trailing chunk
+    (stage_nweaks=[1, 99] at nchunks=2 used to index stage_weak_start[2])."""
+    from types import SimpleNamespace
+
+    from grayskull_tpu.kernels.lbp import _stage_chunks
+
+    def fake(stage_nweaks):
+        starts = np.concatenate(([0], np.cumsum(stage_nweaks)[:-1]))
+        return SimpleNamespace(
+            nweaks=int(np.sum(stage_nweaks)),
+            nstages=len(stage_nweaks),
+            stage_nweaks=np.asarray(stage_nweaks, np.uint16),
+            stage_weak_start=np.asarray(starts, np.uint16),
+        )
+
+    for nweaks_per_stage in ([1, 99], [1], [5, 1, 94], [50, 50], [99, 1]):
+        cas = fake(nweaks_per_stage)
+        for nchunks in (1, 2, 3, 4):
+            chunks = _stage_chunks(cas, nchunks)
+            assert 1 <= len(chunks) <= nchunks
+            # chunks tile the stage range contiguously with no empties
+            assert chunks[0][0] == 0 and chunks[-1][1] == cas.nstages
+            for (s_lo, s_hi, k_lo, k_hi) in chunks:
+                assert s_lo < s_hi and k_lo < k_hi
+            for prev, nxt in zip(chunks, chunks[1:]):
+                assert prev[1] == nxt[0] and prev[3] == nxt[2]
+            assert chunks[0][2] == 0 and chunks[-1][3] == cas.nweaks

@@ -35,11 +35,7 @@ def test_preprocess_batched(rng):
             np.testing.assert_array_equal(np.asarray(a)[i], np.asarray(b))
 
 
-def _tpu_default():
-    d = jax.config.jax_default_device
-    return jax.default_backend() == "tpu" and (
-        d is None or getattr(d, "platform", "tpu") == "tpu"
-    )
+from tests.conftest import tpu_default as _tpu_default  # noqa: E402
 
 
 @pytest.mark.tpu
@@ -241,3 +237,32 @@ def test_filter_pallas_match_oracle(oracle, rng):
             np.testing.assert_array_equal(
                 got[i], oracle.filter(imgs[i], np.asarray(kern), norm),
                 err_msg=f"filter norm={norm}")
+
+
+def test_filter2d_gate_keeps_wide_taps_off_pallas(monkeypatch):
+    """The Pallas stencil's negative-sum-wraps-to-255 shortcut is only valid
+    for int8-range taps; filter2d must route wider (extension-API) kernels to
+    the XLA u32-wrap path even when a TPU is available.  E.g. taps of -100000
+    with norm 15_999_999 give a wrapped quotient of 254, not 255."""
+    import jax.numpy as jnp
+
+    import grayskull_tpu.kernels.preproc as kp
+    import grayskull_tpu.ops.pixel as px
+
+    calls = []
+    monkeypatch.setattr(px, "_on_tpu", lambda: True)
+    monkeypatch.setattr(kp, "stencil_available", lambda h, w: True)
+    monkeypatch.setattr(
+        kp, "filter3_pallas",
+        lambda img, taps, norm, **kw: calls.append(taps) or img)
+
+    img = jnp.asarray(np.full((16, 128), 255, np.uint8))
+    wide = [[-100000] * 3] * 3
+    out = np.asarray(px.filter2d(img, wide, 15_999_999))
+    assert not calls, "wide taps must not dispatch to the Pallas stencil"
+    # XLA path: interior acc = 9*255*-100000 = -229.5M, wraps to
+    # (2^32 + acc) // norm = 254 — the Pallas shortcut would return 255
+    assert out[8, 64] == 254
+    # int8-range taps (the reference domain) still dispatch
+    px.filter2d(img, [[0, -3, 0], [-3, 2, -1], [0, -1, 0]], 4)
+    assert len(calls) == 1
