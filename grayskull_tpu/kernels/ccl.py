@@ -9,22 +9,30 @@ cost of the document scanner (VERDICT r2 weak #3).
 
 This kernel runs the same min-index propagation entirely in VMEM:
 
-* grid ``(N, 2*nstrips - 1)`` — a **serpentine sweep**: strips walk top to
-  bottom, then bottom to top, one revisited output block per strip
-  (``input_output_aliases`` keeps the HBM buffer current between visits;
-  adjacent grid steps touch disjoint strips, so the pipelined DMAs never
-  race);
+* each sweep is a **down pass then an up pass**, each its own
+  ``pallas_call`` over ``grid (N, nstrips)`` — one strip per grid step,
+  every strip visited exactly once per pass, so every visit reads data the
+  previous pass COMMITTED to HBM (``input_output_aliases`` chains the
+  buffer through the passes).  A single serpentine call that revisited
+  strips on the way back up read its inputs through the grid pipeline's
+  prefetch, which is snapshot-stale in interpret mode and racy at the
+  turning strip on hardware — a spiral component whose labels must flow
+  down and back up LIVELOCKED: the up visit kept overwriting the down
+  visit's improvement with a stale recomputation, the buffer cycled
+  idempotently, and the changed flag never cleared (caught by the
+  adversarial interpret tests, tests/test_blobs_contour.py);
 * each strip is min-propagated to a **local fixpoint** in VMEM
   (``lax.while_loop`` whose body does four segmented min-scans via
   log-doubling shifts — background pixels are barriers), so HBM sees each
-  strip once per visit instead of once per round;
+  strip once per pass instead of once per round;
 * the converged boundary row rides to the next strip in a VMEM scratch
   carry (4-connectivity: a column-wise min where both sides are
   foreground);
-* a per-frame ``changed`` flag accumulates in scratch; the caller loops
-  the whole serpentine until it reports a clean sweep.  One down+up sweep
+* each visit writes a per-strip ``changed`` flag into its own output cell
+  (no SMEM state crosses grid steps); the caller ORs them and loops
+  down+up sweeps until both passes report a clean run.  One sweep
   converges anything whose components don't zig-zag between strips more
-  than once (real documents converge in a single launch; the outer loop
+  than once (real documents converge in a single sweep; the outer loop
   guarantees the general case).
 
 The fixpoint (min raster index per 4-connected component of
@@ -100,41 +108,43 @@ def _strip_fixpoint(L, bgi, big, h_blk: int, w: int):
     return L
 
 
-def _ccl_kernel(L_ref, out_ref, flag_ref, carry_ref, *, blk: int, w: int,
-                nstrips: int, big_val: int):
+def _ccl_pass_kernel(L_ref, out_ref, flag_ref, carry_ref, *, blk: int, w: int,
+                     big_val: int, down: bool):
+    """One directional pass: strips walk top-to-bottom (``down``) or
+    bottom-to-top, the carry row riding in VMEM scratch."""
     j = pl.program_id(1)
     big = jnp.int32(big_val)
-    # walk: strips 0..ns-1 (down), then ns-2..0 (up)
     L = L_ref[0]
     bgi = (L == big).astype(jnp.int32)
 
-    @pl.when(j == 0)
-    def _():
-        flag_ref[0, 0] = 0
-
     # merge the carried boundary row (4-connectivity: same-column min where
     # both rows are foreground).  The previous strip in walk order is ABOVE
-    # while walking down (j <= ns-1: merge into our top row) and BELOW while
-    # walking up (j >= ns: merge into our bottom row).
+    # while walking down (merge into our top row) and BELOW while walking up
+    # (merge into our bottom row).
     carry = carry_ref[0:1, :]
     use_carry = j != 0
-    merge_top = j < nstrips
     top = L[0:1, :]
     bot = L[blk - 1 : blk, :]
-    top2 = jnp.where(merge_top & use_carry & (top != big) & (carry != big),
-                     jnp.minimum(top, carry), top)
-    bot2 = jnp.where((~merge_top) & use_carry & (bot != big) & (carry != big),
-                     jnp.minimum(bot, carry), bot)
+    if down:
+        top2 = jnp.where(use_carry & (top != big) & (carry != big),
+                         jnp.minimum(top, carry), top)
+        bot2 = bot
+    else:
+        top2 = top
+        bot2 = jnp.where(use_carry & (bot != big) & (carry != big),
+                         jnp.minimum(bot, carry), bot)
     L = jax.lax.concatenate([top2, L[1 : blk - 1, :], bot2], 0)
 
     L2 = _strip_fixpoint(L, bgi, big, blk, w)
     out_ref[0] = L2
-    flag_ref[0, 0] = flag_ref[0, 0] | jnp.any(L2 != L_ref[0]).astype(jnp.int32)
+    # per-strip changed flag: each visit owns its own output cell, so the
+    # flag never depends on SMEM state surviving across grid steps (an
+    # OR-accumulated scalar block dropped earlier visits' bits on hardware)
+    flag_ref[0, 0] = jnp.any(L2 != L_ref[0]).astype(jnp.int32)
 
-    # carry out: the converged boundary row facing the NEXT strip in walk
-    # order — below us until the turning point (j < ns-1), above after
-    carry_ref[0:1, :] = jnp.where(j < nstrips - 1,
-                                  L2[blk - 1 : blk, :], L2[0:1, :])
+    # carry out: the converged boundary row facing the next strip in walk
+    # order — below us walking down, above us walking up
+    carry_ref[0:1, :] = L2[blk - 1 : blk, :] if down else L2[0:1, :]
 
 
 def ccl_pallas_available(h: int, w: int) -> bool:
@@ -144,7 +154,7 @@ def ccl_pallas_available(h: int, w: int) -> bool:
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def ccl_serpentine(L0: jnp.ndarray, interpret: bool = False):
-    """Run serpentine strip sweeps until a clean pass.  ``L0``: (N, H, W)
+    """Run down+up strip sweeps until a clean pass.  ``L0``: (N, H, W)
     int32 with ``big = 2**30`` at background pixels; returns
     ``(fixpoint, sweep_count)`` — the count is the bench's CCL-depth metric.
     ``interpret=True`` runs the Pallas interpreter (CPU logic testing)."""
@@ -153,23 +163,23 @@ def ccl_serpentine(L0: jnp.ndarray, interpret: bool = False):
     nstrips = h // blk
     big_val = 2**30
 
-    def index_in(i, j):
-        s = jnp.where(j < nstrips, j, 2 * nstrips - 2 - j)
-        return (i, s, 0)
-
-    def sweep(L):
+    def one_pass(L, down: bool):
+        if down:
+            index_in = lambda i, j: (i, j, 0)  # noqa: E731
+        else:
+            index_in = lambda i, j: (i, nstrips - 1 - j, 0)  # noqa: E731
         out, flag = pl.pallas_call(
-            functools.partial(_ccl_kernel, blk=blk, w=w, nstrips=nstrips,
-                              big_val=big_val),
-            grid=(n, 2 * nstrips - 1),
+            functools.partial(_ccl_pass_kernel, blk=blk, w=w,
+                              big_val=big_val, down=down),
+            grid=(n, nstrips),
             in_specs=[pl.BlockSpec((1, blk, w), index_in, memory_space=pltpu.VMEM)],
             out_specs=[
                 pl.BlockSpec((1, blk, w), index_in, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1), lambda i, j: (i, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1), lambda i, j: (i, j), memory_space=pltpu.SMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((n, h, w), jnp.int32),
-                jax.ShapeDtypeStruct((n, 1), jnp.int32),
+                jax.ShapeDtypeStruct((n, nstrips), jnp.int32),
             ],
             scratch_shapes=[pltpu.VMEM((1, w), jnp.int32)],
             input_output_aliases={0: 0},
@@ -177,10 +187,17 @@ def ccl_serpentine(L0: jnp.ndarray, interpret: bool = False):
         )(L)
         return out, flag
 
+    def sweep(L):
+        L, f_down = one_pass(L, True)
+        if nstrips == 1:
+            return L, jnp.any(f_down > 0)
+        L, f_up = one_pass(L, False)
+        return L, jnp.any(f_down > 0) | jnp.any(f_up > 0)
+
     def body(state):
         L, _, k = state
-        L2, flag = sweep(L)
-        return L2, jnp.any(flag > 0), k + 1
+        L2, changed = sweep(L)
+        return L2, changed, k + 1
 
     L, _, sweeps = jax.lax.while_loop(
         lambda s: s[1], body, (L0, jnp.bool_(True), jnp.int32(0))

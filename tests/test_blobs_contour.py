@@ -431,6 +431,24 @@ def test_ccl_serpentine_interpret_matches_xla(rng):
     assert run_both(sn) >= 1
     noise = (rng.random((16, 128)) < 0.45).astype(np.uint8) * 255
     run_both(noise)
+    # single-arm rectangular spiral across 5 strips: ONE component whose
+    # min label must flow down and back up repeatedly.  The original
+    # single-call serpentine (revisited strips in one pallas_call) LIVELOCKED
+    # here: up visits read stale prefetched inputs, overwrote the down
+    # visits' improvements with an idempotent recomputation, and the changed
+    # flag never cleared — the two-pass structure pins the fix.
+    h, w = 40, 128
+    sp = np.zeros((h, w), np.uint8)
+    top, bot, lef, rig = 0, h - 1, 0, w - 1
+    while top <= bot and lef <= rig:
+        sp[top, lef:rig + 1] = 255
+        sp[top:bot + 1, rig] = 255
+        sp[bot, lef:rig + 1] = 255
+        sp[top:bot + 1, lef] = 255
+        top += 4; bot -= 4; lef += 4; rig -= 4
+        if lef <= rig:
+            sp[top - 3:top + 1, lef] = 255
+    assert run_both(sp) >= 2  # needs more than one down+up sweep
 
 
 @pytest.mark.tpu
