@@ -106,6 +106,36 @@ def test_orb_extract_spatial(mesh_space4, testdata):
             )
 
 
+def test_orb_extract_spatial_shard_boundary_corners(mesh_space4):
+    """Corners whose FAST circle / NMS window straddles a shard boundary must
+    come out identical to single-device extraction — exercises the 3-row halo
+    exchange specifically (synthetic bright squares centered ON the 120-row
+    boundaries and within +-3 rows of them)."""
+    from grayskull_tpu.ops.features import orb_extract
+    from grayskull_tpu.parallel.sparse import orb_extract_spatial
+
+    rng = np.random.default_rng(42)
+    # jittered base: perfectly flat synthetics tie FAST scores between
+    # neighbors and the (reference-faithful) NMS suppresses everything
+    img = rng.integers(20, 40, (480, 640)).astype(np.uint8)
+    xs = np.arange(24, 616, 24)
+    rows = []
+    for b in (120, 240, 360):                 # shard boundaries at 4 shards
+        rows += [b - 3, b, b + 3]
+    rows += [60, 200, 420]                     # interior controls
+    for i, yy in enumerate(rows):
+        for j, xx in enumerate(xs[i::7]):
+            img[yy - 2 : yy + 3, xx - 2 : xx + 3] = rng.integers(
+                200, 240, (5, 5))
+    ref = orb_extract(jnp.asarray(img), 300, 20)
+    got = orb_extract_spatial(jnp.asarray(img), mesh_space4, 300, 20)
+    assert int(ref.n) > 20  # the pattern must actually produce corners
+    for f in ("n", "x", "y", "response", "angle", "descriptor"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, f)), np.asarray(getattr(ref, f)), err_msg=f
+        )
+
+
 def test_orb_extract_spatial_bad_geometry(mesh_space4, testdata):
     from grayskull_tpu.parallel.sparse import orb_extract_spatial
 
