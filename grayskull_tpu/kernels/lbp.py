@@ -361,9 +361,10 @@ def _padded_dims(cascade, scale: float, ny: int, nx: int, step: int):
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("cascade", "scale", "ny", "nx", "step"))
+@functools.partial(jax.jit, static_argnames=("cascade", "scale", "ny", "nx",
+                                              "step", "interpret"))
 def lbp_eval_scale(cascade, iip: jnp.ndarray, scale: float, ny: int, nx: int,
-                   step: int = 1):
+                   step: int = 1, interpret: bool = False):
     """(N, Hp', Wp') zero-guarded padded integral -> (N, ny, nx) bool hits.
 
     ``iip`` must carry one leading zero row/column (the ``gs_integral_sum``
@@ -403,6 +404,7 @@ def lbp_eval_scale(cascade, iip: jnp.ndarray, scale: float, ny: int, nx: int,
             in_specs=[planes_spec] if first else [planes_spec, alive_spec],
             out_specs=alive_spec,
             out_shape=jax.ShapeDtypeStruct((n, nty * th, ntx * tw), jnp.uint8),
+            interpret=interpret,
         )(*([planes] if first else [planes, out]))
     return out[:, :ny, :nx] != 0
 

@@ -288,3 +288,49 @@ def test_stage_chunks_back_loaded_cascade():
             for prev, nxt in zip(chunks, chunks[1:]):
                 assert prev[1] == nxt[0] and prev[3] == nxt[2]
             assert chunks[0][2] == 0 and chunks[-1][3] == cas.nweaks
+
+
+def test_lbp_kernel_interpret_custom_cascade():
+    """The Pallas cascade kernel (interpret mode, CPU) must match the XLA
+    window evaluation for a synthetic non-frontalface cascade — covers the
+    plan/chunk machinery for custom OpenCV-style cascades (incl. back-loaded
+    stage weights) and the step>1 phase decomposition, none of which the
+    frontalface-only TPU tests exercise off-hardware."""
+    import jax.numpy as jnp
+
+    from grayskull_tpu.core import LbpCascade
+    from grayskull_tpu.kernels.lbp import lbp_eval_scale, lbp_pad_for
+    from grayskull_tpu.ops.lbp import _eval_windows_jit
+
+    rng = np.random.default_rng(5)
+    feats = np.array([[0, 0, 2, 2], [1, 1, 2, 2], [2, 0, 1, 2]], np.int8)
+    nweaks = 4
+    cas = LbpCascade(
+        window_w=8, window_h=8,
+        features=feats,
+        weak_feature_idx=np.array([0, 2, 1, 0], np.uint16),
+        weak_left_val=rng.uniform(-1, 0, nweaks).astype(np.float32),
+        weak_right_val=rng.uniform(0, 1, nweaks).astype(np.float32),
+        weak_subset_offset=np.arange(0, 8 * nweaks, 8, dtype=np.uint16),
+        weak_num_subsets=np.full(nweaks, 8, np.uint16),
+        subsets=rng.integers(-2**31, 2**31, 8 * nweaks, dtype=np.int64)
+        .astype(np.int32),
+        stage_weak_start=np.array([0, 1], np.uint16),
+        stage_nweaks=np.array([1, 3], np.uint16),   # back-loaded split
+        stage_threshold=np.array([-0.2, 0.1], np.float32),
+    )
+    ih, iw = 40, 256
+    frames = rng.integers(0, 256, (2, ih, iw), dtype=np.uint8)
+    iib = gs.integral(jnp.asarray(frames))
+    f = np.float32
+    for scale in (1.0, 1.5):
+        win = int(f(8) * f(scale))
+        for step in (1, 2):
+            ny = (ih - win) // step + 1
+            nx = (iw - win) // step + 1
+            ref = np.asarray(_eval_windows_jit(cas, iib, scale, ny, nx, step))
+            iip = lbp_pad_for(cas, iib, [(scale, win, win)], ih, iw, step)
+            got = np.asarray(
+                lbp_eval_scale(cas, iip, scale, ny, nx, step, interpret=True))
+            np.testing.assert_array_equal(
+                got, ref, err_msg=f"scale={scale} step={step}")
