@@ -81,8 +81,8 @@ def _patch_kernel(ry_ref, rx_ref, oy_ref, ox_ref, img_ref, out_ref, *, nkb: int)
     jax.lax.fori_loop(0, KP_BLK, body, 0, unroll=False)
 
 
-@jax.jit
-def _extract_pallas(imgp, ry, rx, oy, ox):
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _extract_pallas(imgp, ry, rx, oy, ox, interpret: bool = False):
     n = imgp.shape[0]
     nk = ry.shape[0] // n
     nkb = nk // KP_BLK
@@ -103,10 +103,11 @@ def _extract_pallas(imgp, ry, rx, oy, ox):
         functools.partial(_patch_kernel, nkb=nkb),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, nk, _P, _P), jnp.uint8),
+        interpret=interpret,
     )(ry, rx, oy, ox, imgp)
 
 
-def extract_patches_batched(imgs, x, y):
+def extract_patches_batched(imgs, x, y, interpret: bool = False):
     """(N, H, W) uint8 + (N, K) int32 keypoint coords -> (N, K, 48, 48)
     uint8 patches, ``patch[r, c] = imgp[y - 20 + r, x - 20 + c]`` with zeros
     outside the frame — identical to ``_extract_patches``'s contract.
@@ -132,6 +133,7 @@ def extract_patches_batched(imgs, x, y):
     oy = ys - ry
     ox = xs - rx
     out = _extract_pallas(
-        imgp, ry.reshape(-1), rx.reshape(-1), oy.reshape(-1), ox.reshape(-1)
+        imgp, ry.reshape(-1), rx.reshape(-1), oy.reshape(-1), ox.reshape(-1),
+        interpret=interpret,
     )
     return out[:, :nk]

@@ -427,3 +427,33 @@ def test_orb_candidate_selection_paths_agree(testdata, rng):
         for fa, fb, name in zip(a, b, ("n", "x", "y", "r")):
             np.testing.assert_array_equal(
                 np.asarray(fa), np.asarray(fb), err_msg=f"{name} cap={cap}")
+
+
+def test_patches_kernel_interpret_edge_keypoints():
+    """kernels/patches.py (interpret mode, CPU) == the XLA _extract_patches
+    contract — patch(r,c) = img[y-20+r, x-20+c] with zeros outside — for
+    keypoints at the frame corners/edges where the aligned-window slicing
+    and the zero padding interact, plus random interior points."""
+    import jax.numpy as jnp
+
+    from grayskull_tpu.kernels.patches import extract_patches_batched
+    from grayskull_tpu.ops.features import _extract_patches
+
+    rng = np.random.default_rng(11)
+    h, w = 64, 200
+    imgs = rng.integers(0, 256, (2, h, w), dtype=np.uint8)
+    edge = [(0, 0), (w - 1, 0), (0, h - 1), (w - 1, h - 1),
+            (w // 2, 0), (0, h // 2), (w - 1, h // 2), (w // 2, h - 1),
+            (19, 19), (20, 20), (w - 20, h - 20)]
+    xs = np.array([p[0] for p in edge]
+                  + rng.integers(0, w, 53).tolist(), np.int32)
+    ys = np.array([p[1] for p in edge]
+                  + rng.integers(0, h, 53).tolist(), np.int32)
+    xb = jnp.asarray(np.stack([xs, xs[::-1]]))
+    yb = jnp.asarray(np.stack([ys, ys[::-1]]))
+    got = np.asarray(extract_patches_batched(
+        jnp.asarray(imgs), xb, yb, interpret=True))
+    for i in range(2):
+        ref = np.asarray(_extract_patches(
+            jnp.asarray(imgs[i]), xb[i], yb[i]))
+        np.testing.assert_array_equal(got[i], ref, err_msg=f"frame {i}")
