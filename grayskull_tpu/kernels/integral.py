@@ -69,8 +69,8 @@ def _pick_block(hp: int) -> int:
     return 512 if hp >= 1024 else 128
 
 
-@jax.jit
-def integral_pallas(imgs: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def integral_pallas(imgs: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     """(H, W) or (N, H, W) uint8 -> same-shape uint32 inclusive 2D prefix sum."""
     single = imgs.ndim == 2
     x = imgs[None] if single else imgs
@@ -92,6 +92,7 @@ def integral_pallas(imgs: jnp.ndarray) -> jnp.ndarray:
             pltpu.VMEM((wp, wp), jnp.bfloat16),
             pltpu.VMEM((blk, blk), jnp.bfloat16),
         ],
+        interpret=interpret,
     )(x)
     out = jax.lax.bitcast_convert_type(out[:, :h, :w], jnp.uint32)
     return out[0] if single else out

@@ -189,3 +189,23 @@ def test_warp_pallas_matches_gather_tpu(testdata):
             ref = np.asarray(perspective_correct(
                 jax.device_put(doc, cpu), jnp.asarray(q), (1000, 800)))
         np.testing.assert_array_equal(got, ref)
+
+
+def test_integral_kernel_interpret():
+    """The single-pass MXU integral kernel (interpret mode, CPU) == the XLA
+    double-cumsum, including uint32 wraparound (a 600x600 frame of 255s sums
+    past 2^31) and awkward padded geometries."""
+    import jax.numpy as jnp
+
+    from grayskull_tpu.kernels.integral import integral_pallas
+
+    rng = np.random.default_rng(3)
+    cases = [
+        rng.integers(0, 256, (37, 130), dtype=np.uint8),
+        rng.integers(0, 256, (128, 128), dtype=np.uint8),
+        np.full((600, 600), 255, np.uint8),   # max sum ~91.8e9 mod 2^32 wraps
+    ]
+    for img in cases:
+        got = np.asarray(integral_pallas(jnp.asarray(img), interpret=True))
+        ref = np.asarray(gs.integral(jnp.asarray(img), force_xla=True))
+        np.testing.assert_array_equal(got, ref, err_msg=str(img.shape))
