@@ -256,8 +256,9 @@ def _halo_specs(blk: int, h: int, w: int):
     return top, bot
 
 
-@functools.partial(jax.jit, static_argnames=("radius",))
-def fused_blur_hist(imgs: jnp.ndarray, radius: int = 2):
+@functools.partial(jax.jit, static_argnames=("radius", "interpret"))
+def fused_blur_hist(imgs: jnp.ndarray, radius: int = 2,
+                    interpret: bool = False):
     """(N, H, W) uint8 -> (blurred uint8, hist (N, 256) int32)."""
     n, h, w = imgs.shape
     r = int(radius)
@@ -284,6 +285,7 @@ def fused_blur_hist(imgs: jnp.ndarray, radius: int = 2):
             pltpu.VMEM((128, 128), jnp.int32),
             pltpu.VMEM((blk, blk + 16), jnp.bfloat16),
         ],
+        interpret=interpret,
     )(imgs, imgs, imgs)
     # hist[hi, lo] -> flat bin hi*16+lo
     return blurred, hist.reshape(n, 256)
@@ -682,9 +684,9 @@ def _threshold_sobel_kernel(t_ref, x_ref, top_ref, bot_ref, *out_refs,
     edge_ref[0] = jnp.where(interior, mag, 0).astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("want_binary",))
+@functools.partial(jax.jit, static_argnames=("want_binary", "interpret"))
 def fused_threshold_sobel(blurred: jnp.ndarray, thresholds: jnp.ndarray,
-                          want_binary: bool = True):
+                          want_binary: bool = True, interpret: bool = False):
     """(N, H, W) uint8 + (N,) thresholds -> (binary, edges) in one HBM pass.
 
     ``want_binary=False`` skips the binary output entirely (it is only
@@ -711,6 +713,7 @@ def fused_threshold_sobel(blurred: jnp.ndarray, thresholds: jnp.ndarray,
         ],
         out_specs=[out_spec] * nouts,
         out_shape=[out_shape] * nouts,
+        interpret=interpret,
     )(t, blurred, blurred, blurred)
     if want_binary:
         return outs[0], outs[1]

@@ -39,11 +39,13 @@ def preprocess_reference(imgs: jnp.ndarray, radius: int = 2):
     return blurred, binary, edges, t
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "want_binary"))
-def _preprocess_pallas(imgs: jnp.ndarray, radius: int, want_binary: bool = True):
-    blurred, hist = fused_blur_hist(imgs, radius)
+@functools.partial(jax.jit, static_argnames=("radius", "want_binary", "interpret"))
+def _preprocess_pallas(imgs: jnp.ndarray, radius: int, want_binary: bool = True,
+                       interpret: bool = False):
+    blurred, hist = fused_blur_hist(imgs, radius, interpret=interpret)
     t = otsu_from_histogram(hist, imgs.shape[-2] * imgs.shape[-1])
-    binary, edges = fused_threshold_sobel(blurred, t, want_binary)
+    binary, edges = fused_threshold_sobel(blurred, t, want_binary,
+                                          interpret=interpret)
     return blurred, binary, edges, t
 
 

@@ -200,6 +200,33 @@ def test_stencil_row_padding_interpret(oracle, rng):
             err_msg=f"filter3 h={h}")
 
 
+def test_preprocess_fused_pair_interpret(rng):
+    """The headline fused pair (blur+histogram, threshold+sobel) checked
+    off-hardware: Pallas interpret mode vs the composed-XLA reference on
+    a multi-block geometry (24x128 -> blk=8, 3 blocks: interior blocks see
+    both halo views; edge blocks see the frame-edge zero masks) and the
+    single-block lena geometry (128x128), at the default radius and the
+    max magic-divider radius, plus the want_binary=False byte-diet path."""
+    from grayskull_tpu.kernels.preproc import preproc_available
+    from grayskull_tpu.pipelines.preproc import _preprocess_pallas
+
+    for (h, w), radius in (((24, 128), 2), ((128, 128), 2), ((24, 128), 6)):
+        assert preproc_available(h, w, radius)
+        imgs = rng.integers(0, 256, (2, h, w), dtype=np.uint8)
+        got = _preprocess_pallas(imgs, radius, interpret=True)
+        ref = preprocess_reference(imgs, radius)
+        for name, a, b in zip(("blurred", "binary", "edges", "t"), got, ref):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=f"{name} {h}x{w} r={radius}")
+    # edges-only consumers skip the binary HBM write but keep identical edges
+    imgs = rng.integers(0, 256, (2, 24, 128), dtype=np.uint8)
+    none_bin, edges = _preprocess_pallas(imgs, 2, want_binary=False,
+                                         interpret=True)[1:3]
+    assert none_bin is None
+    ref = preprocess_reference(imgs, 2)
+    np.testing.assert_array_equal(np.asarray(edges), np.asarray(ref[2]))
+
+
 def test_preprocess_stencil_tier_interpret(rng):
     """Geometries the fused pair rejects (w % 128 != 0 / awkward h) run the
     stencil-composed middle tier on TPU; interpret mode checks it is
