@@ -172,8 +172,11 @@ def test_stencil_row_padding_interpret(oracle, rng):
     assert stencil_available(13, 136) and stencil_available(129, 136)
 
     sharpen = ((0, -1, 0), (-1, 5, -1), (0, -1, 0))
-    for h in (13, 100, 129):
-        img = rng.integers(0, 256, (1, h, 136), dtype=np.uint8)
+    # heights around block boundaries at w=136, plus lane-width edges:
+    # the minimal legal frame (7x8 pads to one 8-row block), a width one
+    # short of the 128 lane tile, and one just past it
+    for h, w in ((13, 136), (100, 136), (129, 136), (7, 8), (9, 120), (17, 129)):
+        img = rng.integers(0, 256, (1, h, w), dtype=np.uint8)
         jb = jnp.asarray(img)
         np.testing.assert_array_equal(
             np.asarray(blur_pallas(jb, 2, interpret=True))[0],
