@@ -118,6 +118,7 @@ def main():
                 "value": round(fps, 1),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / TARGET_FPS, 4),
+                "backend": backend,
             }
         )
     )
