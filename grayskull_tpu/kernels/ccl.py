@@ -137,10 +137,12 @@ def _ccl_pass_kernel(L_ref, out_ref, flag_ref, carry_ref, *, blk: int, w: int,
 
     L2 = _strip_fixpoint(L, bgi, big, blk, w)
     out_ref[0] = L2
-    # per-strip changed flag: each visit owns its own output cell, so the
-    # flag never depends on SMEM state surviving across grid steps (an
-    # OR-accumulated scalar block dropped earlier visits' bits on hardware)
-    flag_ref[0, 0] = jnp.any(L2 != L_ref[0]).astype(jnp.int32)
+    # per-strip changed flag: each visit owns its own (8, 128) VMEM cell, so
+    # the flag never depends on state surviving across grid steps (an
+    # OR-accumulated SMEM scalar dropped earlier visits' bits on hardware,
+    # and a (1, 1) SMEM block fails the Mosaic block-shape rules outright)
+    changed = jnp.any(L2 != L_ref[0]).astype(jnp.int32)
+    flag_ref[0] = jnp.full((8, 128), changed, jnp.int32)
 
     # carry out: the converged boundary row facing the next strip in walk
     # order — below us walking down, above us walking up
@@ -175,11 +177,12 @@ def ccl_serpentine(L0: jnp.ndarray, interpret: bool = False):
             in_specs=[pl.BlockSpec((1, blk, w), index_in, memory_space=pltpu.VMEM)],
             out_specs=[
                 pl.BlockSpec((1, blk, w), index_in, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1), lambda i, j: (i, j), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 8, 128), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((n, h, w), jnp.int32),
-                jax.ShapeDtypeStruct((n, nstrips), jnp.int32),
+                jax.ShapeDtypeStruct((n, nstrips * 8, 128), jnp.int32),
             ],
             scratch_shapes=[pltpu.VMEM((1, w), jnp.int32)],
             input_output_aliases={0: 0},
