@@ -114,7 +114,10 @@ def _pick_blk_padded(h: int, w: int, nv: int):
     """(blk, padded_h) minimizing read volume: padded rows x (blk+16nv)/blk."""
     best = None
     for blk in (256, 128, 64, 32, 16, 8):
-        if blk * w > 256 * 1024:
+        # Mosaic keeps ~27 (blk, w)-f32 slabs live through the fused chain:
+        # blk=256 at w=612 measured a 17.07M scoped stack (>16M limit), so
+        # cap blk*w at 128k (~8.8M live) rather than 256k.
+        if blk * w > 128 * 1024:
             continue
         hp = -(-h // blk) * blk
         cost = hp * (blk + 16 * nv) / blk
