@@ -123,7 +123,11 @@ def _pick_blk_padded(h: int, w: int, nv: int):
         cost = hp * (blk + 16 * nv) / blk
         if best is None or cost < best[2]:
             best = (blk, hp, cost)
-    return best[:2] if best else (0, h)
+    if best is None:
+        raise ValueError(
+            f"no strip height fits VMEM for w={w} (blk*w capped at 128k); "
+            "use the XLA path for frames this wide")
+    return best[:2]
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "interpret"))

@@ -114,7 +114,8 @@ def _ccl_pass_kernel(L_ref, out_ref, flag_ref, carry_ref, *, blk: int, w: int,
     bottom-to-top, the carry row riding in VMEM scratch."""
     j = pl.program_id(1)
     big = jnp.int32(big_val)
-    L = L_ref[0]
+    L_orig = L_ref[0]  # snapshot once: input aliases output, so never
+    L = L_orig         # re-read L_ref after out_ref is written
     bgi = (L == big).astype(jnp.int32)
 
     # merge the carried boundary row (4-connectivity: same-column min where
@@ -136,12 +137,14 @@ def _ccl_pass_kernel(L_ref, out_ref, flag_ref, carry_ref, *, blk: int, w: int,
     L = jax.lax.concatenate([top2, L[1 : blk - 1, :], bot2], 0)
 
     L2 = _strip_fixpoint(L, bgi, big, blk, w)
-    out_ref[0] = L2
     # per-strip changed flag: each visit owns its own (8, 128) VMEM cell, so
     # the flag never depends on state surviving across grid steps (an
     # OR-accumulated SMEM scalar dropped earlier visits' bits on hardware,
-    # and a (1, 1) SMEM block fails the Mosaic block-shape rules outright)
-    changed = jnp.any(L2 != L_ref[0]).astype(jnp.int32)
+    # and a (1, 1) SMEM block fails the Mosaic block-shape rules outright).
+    # Compared against the entry snapshot BEFORE out_ref is written — the
+    # aliased in/out blocks share an HBM buffer and may share VMEM windows.
+    changed = jnp.any(L2 != L_orig).astype(jnp.int32)
+    out_ref[0] = L2
     flag_ref[0] = jnp.full((8, 128), changed, jnp.int32)
 
     # carry out: the converged boundary row facing the next strip in walk
