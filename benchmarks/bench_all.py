@@ -220,10 +220,34 @@ def main():
         ("histogram", gs.histogram, 1 * MP),
         ("integral", gs.integral, 5 * MP),
         ("otsu", gs.otsu_threshold, 1 * MP),
+        # bilinear downscale 1024^2 -> 640x480 (one-hot selection matmuls)
+        ("resize_640x480", lambda x: gs.resize(x, (480, 640)),
+         MP + 480 * 640),
+        ("resize_nn_640x480", lambda x: gs.resize_nn(x, (480, 640)),
+         MP + 480 * 640),
     ]:
         dt = timeit(fn, batch, iters=iters)
         results[f"op_{name}_1MP_fps"] = n / dt
         record(f"op_{name}_1MP", dt, n, bytes_per_frame=bpf)
+
+    # 5b. template matching: 32x32 template over 640x480 scenes (batched via
+    # vmap; the reference scans ~0.28M placements x 1024 pixels each)
+    nb3 = (64 if on_tpu else 2) if not args.quick else (8 if on_tpu else 2)
+    sb = jnp.asarray(np.stack([np.roll(scene, 11 * i, axis=1) for i in range(nb3)]))
+    tmpl32 = jnp.asarray(scene[200:232, 300:332])
+
+    @jax.jit
+    def tmatch(b):
+        return jax.vmap(lambda im: gs.ops.find_best_match(
+            gs.ops.match_template(im, tmpl32)))(b)
+
+    dt = timeit(tmatch, sb, iters=iters)
+    results["match_template_640x480_fps"] = nb3 / dt
+    if orc:
+        t0 = time.perf_counter()
+        orc.match_template(scene, np.asarray(tmpl32))
+        results["match_template_640x480_fps_c_reference"] = 1 / (
+            time.perf_counter() - t0)
 
     for k, v in results.items():
         if isinstance(v, float):

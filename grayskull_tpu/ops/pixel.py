@@ -79,15 +79,42 @@ def copy(img: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _sel_matrix(idx: np.ndarray, src_n: int) -> jnp.ndarray:
+    """One-hot row-selection matrix (len(idx), src_n) in bf16.
+
+    Gathers serialize on TPU even with static indices; a one-hot matmul rides
+    the MXU instead and is EXACT here: every output element sums exactly one
+    ``1.0 * pixel`` product, and uint8 pixel values are exact in bf16.
+    """
+    m = np.zeros((len(idx), src_n), np.float32)
+    m[np.arange(len(idx)), np.asarray(idx, np.int64)] = 1.0
+    return jnp.asarray(m, jnp.bfloat16)
+
+
+def _sel_rows(sel, img):
+    """(d, s) one-hot @ (..., s, w) -> (..., d, w) int32-exact selection."""
+    out = jnp.einsum("ds,...sw->...dw", sel, img.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    return out
+
+
+def _sel_cols(img_f32, sel):
+    """(..., h, s) @ (d, s)^T -> (..., h, d); inputs are integer-valued f32."""
+    return jnp.einsum("...hs,ds->...hd", img_f32.astype(jnp.bfloat16), sel,
+                      preferred_element_type=jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("size",))
 def _resize_nn(img, size):
     sh, sw = img.shape[-2:]
     dh, dw = size
     # C: sx = x * src.w / dst.w  (unsigned integer division, grayskull.h:166)
-    sx = (jnp.arange(dw, dtype=jnp.uint32) * np.uint32(sw)) // np.uint32(dw)
-    sy = (jnp.arange(dh, dtype=jnp.uint32) * np.uint32(sh)) // np.uint32(dh)
-    # OOB (can't happen for valid sizes) would read 0 per gs_get; indices are in range.
-    return img[..., sy.astype(jnp.int32), :][..., sx.astype(jnp.int32)]
+    sx = (np.arange(dw, dtype=np.uint32) * np.uint32(sw)) // np.uint32(dw)
+    sy = (np.arange(dh, dtype=np.uint32) * np.uint32(sh)) // np.uint32(dh)
+    # one-hot row+column selection matmuls (indices are static and in range;
+    # gs_get's OOB-reads-0 cannot trigger for valid sizes)
+    out = _sel_cols(_sel_rows(_sel_matrix(sy, sh), img), _sel_matrix(sx, sw))
+    return out.astype(jnp.uint8)
 
 
 def resize_nn(img: jnp.ndarray, size) -> jnp.ndarray:
@@ -111,7 +138,7 @@ def _src_coords_f32(dst_n: int, src_n: int):
     i0 = s.astype(np.int32)  # (unsigned)sx — truncation, s >= 0
     i1 = np.minimum(i0 + 1, src_n - 1)
     d = (s - i0.astype(np.float32)).astype(np.float32)
-    return jnp.asarray(i0), jnp.asarray(i1), jnp.asarray(d)
+    return i0, i1, jnp.asarray(d)
 
 
 @functools.partial(jax.jit, static_argnames=("size",))
@@ -121,13 +148,19 @@ def _resize(img, size):
     x0, x1, dx = _src_coords_f32(dw, sw)
     y0, y1, dy = _src_coords_f32(dh, sh)
 
-    def gather(yi, xi):
-        return img[..., yi, :][..., xi].astype(jnp.float32)
-
-    c00 = gather(y0, x0)
-    c01 = gather(y0, x1)
-    c10 = gather(y1, x0)
-    c11 = gather(y1, x1)
+    # corner picks via one-hot selection matmuls (MXU) instead of gathers:
+    # row-select twice, then column-select each; every sum has exactly one
+    # nonzero term, so the picks are bit-exact.
+    sy0 = _sel_matrix(np.asarray(y0), sh)
+    sy1 = _sel_matrix(np.asarray(y1), sh)
+    sx0 = _sel_matrix(np.asarray(x0), sw)
+    sx1 = _sel_matrix(np.asarray(x1), sw)
+    r0 = _sel_rows(sy0, img)
+    r1 = _sel_rows(sy1, img)
+    c00 = _sel_cols(r0, sx0)
+    c01 = _sel_cols(r0, sx1)
+    c10 = _sel_cols(r1, sx0)
+    c11 = _sel_cols(r1, sx1)
     dx2 = dx[None, :]
     dy2 = dy[:, None]
     # Exact C association (grayskull.h:183-184):
