@@ -23,15 +23,36 @@ bench:
 bench-all:
 	$(PYTHON) benchmarks/bench_all.py
 
-# integration pipeline over real test data, like the reference's `make testdata`
+# integration pipeline over real test data — 1:1 with the reference's
+# `make testdata` (/root/reference/Makefile:10-33), plus a faces run
+NM = $(PYTHON) -m grayskull_tpu.cli
+TD = $(GRAYSKULL_REF_DIR)/testdata
+
 testdata:
 	mkdir -p out
-	$(PYTHON) -m grayskull_tpu.cli identify $(GRAYSKULL_REF_DIR)/testdata/lena.pgm
-	$(PYTHON) -m grayskull_tpu.cli resize 128 64 $(GRAYSKULL_REF_DIR)/testdata/lena.pgm out/lena_128x64.pgm
-	$(PYTHON) -m grayskull_tpu.cli blur 1 $(GRAYSKULL_REF_DIR)/testdata/lena.pgm out/lena_blur.pgm
-	$(PYTHON) -m grayskull_tpu.cli threshold otsu out/lena_blur.pgm out/lena_otsu.pgm
-	$(PYTHON) -m grayskull_tpu.cli scan $(GRAYSKULL_REF_DIR)/testdata/document.pgm out/document.pgm
-	$(PYTHON) -m grayskull_tpu.cli faces 2 $(GRAYSKULL_REF_DIR)/testdata/lena.pgm out/lena_faces.pgm
+	$(NM) identify $(TD)/grayskull.pgm
+	$(NM) view $(TD)/grayskull.pgm
+	$(NM) identify $(TD)/lena.pgm
+	$(NM) resize 128 64 $(TD)/lena.pgm out/lena_128x64.pgm
+	$(NM) crop 32 32 64 64 $(TD)/lena.pgm out/lena_crop.pgm
+	$(NM) blur 1 $(TD)/lena.pgm out/lena_blur.pgm
+	$(NM) blur 9 $(TD)/lena.pgm out/lena_blur_9.pgm
+	$(NM) threshold 128 out/lena_blur.pgm out/lena_threshold_128.pgm
+	$(NM) threshold otsu out/lena_blur.pgm out/lena_otsu.pgm
+	$(NM) adaptive 15 5 $(TD)/lena.pgm out/lena_adaptive.pgm
+	$(NM) morph erode 2 out/lena_otsu.pgm out/lena_erode.pgm
+	$(NM) morph dilate 2 out/lena_erode.pgm out/lena_dilate.pgm
+	$(NM) sobel $(TD)/lena.pgm - | $(NM) view -
+	$(NM) blur 3 $(TD)/aruco.pgm - | \
+		$(NM) sobel - - | \
+		$(NM) threshold otsu - - | \
+		$(NM) morph dilate 9 - - | \
+		$(NM) morph erode 10 - - | \
+		$(NM) blobs 150 - out/aruco.pgm
+	$(NM) view out/aruco.pgm
+	$(NM) scan $(TD)/document.pgm out/document.pgm
+	$(NM) scan $(TD)/receipt.pgm out/receipt.pgm
+	$(NM) faces 2 $(TD)/lena.pgm out/lena_faces.pgm
 
 GRAYSKULL_REF_DIR ?= /root/reference
 

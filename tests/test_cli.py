@@ -121,6 +121,26 @@ def test_cli_view_runs(capsys, lena_path):
     assert len(capsys.readouterr().out) > 100
 
 
+@pytest.mark.parametrize("term", ["xterm-256color", "dumb"])
+def test_cli_view_byte_parity(c_binary, lena_path, term):
+    """Both renderer branches (nanomagick.c:17-57) byte-compared under a
+    pinned TERM.  stdout is a pipe, so the C ioctl and our
+    os.get_terminal_size() both fall back to the same 80-column default."""
+    import sys
+
+    env = dict(os.environ, TERM=term, JAX_PLATFORMS="cpu",
+               PYTHONIOENCODING="utf-8",
+               PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    env.pop("COLUMNS", None)
+    ours = subprocess.run(
+        [sys.executable, "-m", "grayskull_tpu.cli", "view", lena_path],
+        env=env, capture_output=True, check=True, timeout=400)
+    ref = subprocess.run(
+        [c_binary, "view", lena_path],
+        env=dict(os.environ, TERM=term), capture_output=True, check=True)
+    assert ours.stdout == ref.stdout
+
+
 def test_cli_faces_and_keypoints(tmp_path, lena_path):
     run_ours(["faces", "2", lena_path, str(tmp_path / "f.pgm")])
     run_ours(["keypoints", "50", "20", lena_path, str(tmp_path / "k.pgm")])
