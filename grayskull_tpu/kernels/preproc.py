@@ -53,7 +53,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["fused_blur_hist", "fused_threshold_sobel", "blur_pallas",
            "adaptive_pallas", "sobel_pallas", "morph_pallas", "filter3_pallas",
-           "preproc_available", "stencil_available"]
+           "fused_blur_hist_window", "fused_threshold_sobel_window",
+           "preproc_available", "stencil_available", "window_available"]
 
 _MAGIC_SHIFT = 19  # uint32 arithmetic: products stay < 2**32 through r=6
 _MAX_RADIUS = 6  # no exact (m, 19) pair exists for r=7, d=14; XLA path covers r>6
@@ -156,12 +157,18 @@ def _gather_rows(x_ref, halo_refs, j, nb, *, nv: int, blk: int):
 
 
 def _blur_block(x_ref, halo_refs, band_ref, j, nb, *, r: int, h: int,
-                w: int, blk: int, nv: int = 1):
+                w: int, blk: int, nv: int = 1, row_base=0):
     """Clipped-window box mean of one (blk, w) block, exact int32 0..255.
 
     Vertical window sums ride a banded bf16 matmul over the halo-extended
     rows; the clipped division is exact magic multipliers for r <= 6 and
-    f32-divide-with-fixup beyond (counts < 2**24 stay f32-exact)."""
+    f32-divide-with-fixup beyond (counts < 2**24 stay f32-exact).
+
+    ``row_base`` (static 0 or a traced SMEM scalar) shifts the count grid's
+    row coordinates: spatially-sharded callers pass the GLOBAL row index of
+    this array's row 0 (possibly negative — the array then carries exchanged
+    halo rows whose outputs the caller slices away) so the clipped-count
+    division is taken against the global frame height ``h``."""
     rows = _gather_rows(x_ref, halo_refs, j, nb, nv=nv, blk=blk)
     xb = rows.astype(jnp.bfloat16)
     cs_col = jax.lax.dot_general(
@@ -176,7 +183,7 @@ def _blur_block(x_ref, halo_refs, band_ref, j, nb, *, r: int, h: int,
         cs_n = cs_n + px[:, k : k + w]
 
     y0 = j * blk
-    ii = jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0) + y0
+    ii = jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0) + y0 + row_base
     jjv = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
     cyv = jnp.minimum(ii + r, h - 1) - jnp.maximum(ii - r, 0) + 1
     cxv = jnp.minimum(jjv + r, w - 1) - jnp.maximum(jjv - r, 0) + 1
@@ -222,25 +229,31 @@ def _blur_hist_kernel(x_ref, top_ref, bot_ref, blur_ref, hist_ref, acc_ref,
 
     @pl.when(j == nb - 1)
     def _():
-        # counts <= h*w < 2^24: exact in the f32 extraction dots below
-        accv = acc_ref[:].astype(jnp.float32)
-        xid = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-        yid = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
-        masked = jnp.where((xid & 7) == (yid & 7), accv, 0.0)
-        pid = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0)
-        pcol = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1) >> 3
-        p = (pid == pcol).astype(jnp.float32)
-        t1 = jax.lax.dot_general(
-            p, masked, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        m = jax.lax.dot_general(
-            t1, p, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        hist_ref[0] = m.astype(jnp.int32)
+        _hist_extract(acc_ref, hist_ref)
+
+
+def _hist_extract(acc_ref, hist_ref):
+    """Fold the (128, 128) nibble-pair accumulator to the (16, 16) histogram.
+
+    Counts <= h*w < 2^24 stay exact in the f32 extraction dots."""
+    accv = acc_ref[:].astype(jnp.float32)
+    xid = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    yid = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    masked = jnp.where((xid & 7) == (yid & 7), accv, 0.0)
+    pid = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0)
+    pcol = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1) >> 3
+    p = (pid == pcol).astype(jnp.float32)
+    t1 = jax.lax.dot_general(
+        p, masked, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    m = jax.lax.dot_general(
+        t1, p, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    hist_ref[0] = m.astype(jnp.int32)
 
 
 def _halo_specs(blk: int, h: int, w: int):
@@ -289,6 +302,99 @@ def fused_blur_hist(imgs: jnp.ndarray, radius: int = 2,
     )(imgs, imgs, imgs)
     # hist[hi, lo] -> flat bin hi*16+lo
     return blurred, hist.reshape(n, 256)
+
+
+def _blur_hist_window_kernel(row0_ref, x_ref, top_ref, bot_ref, blur_ref,
+                             hist_ref, acc_ref, band_ref, *, r: int,
+                             h_total: int, w: int, blk: int, row_lo: int,
+                             row_hi: int):
+    """`_blur_hist_kernel` over a halo-extended shard: the count grid rides
+    the traced global row offset (SMEM) and the histogram one-hots are
+    masked to the shard's own rows [row_lo, row_hi) — exchanged halo rows
+    and block-padding rows contribute nothing."""
+    j = pl.program_id(1)
+    nb = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        _fill_band(band_ref, r, blk)
+
+    blurred = _blur_block(x_ref, (top_ref, bot_ref), band_ref, j, nb,
+                          r=r, h=h_total, w=w, blk=blk, row_base=row0_ref[0])
+    blur_ref[0] = blurred.astype(jnp.uint8)
+
+    klass = jax.lax.broadcasted_iota(jnp.int32, (128, w), 0) >> 3
+    rsub = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0) & 7
+    acc = acc_ref[:]
+    hi_all = blurred >> 4
+    lo_all = blurred & 15
+    for g in range(blk // 8):
+        src = j * blk + g * 8 + rsub  # absolute row in the extended array
+        vmask = (src >= row_lo) & (src < row_hi)
+        hi_rep = jnp.concatenate([hi_all[g * 8 : (g + 1) * 8]] * 16, axis=0)
+        lo_rep = jnp.concatenate([lo_all[g * 8 : (g + 1) * 8]] * 16, axis=0)
+        a = ((hi_rep == klass) & vmask).astype(jnp.int8)
+        b = (lo_rep == klass).astype(jnp.int8)
+        acc = acc + jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        )
+    acc_ref[:] = acc
+
+    @pl.when(j == nb - 1)
+    def _():
+        _hist_extract(acc_ref, hist_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "h_total", "row_lo",
+                                             "row_hi", "interpret"))
+def fused_blur_hist_window(imgs: jnp.ndarray, row0, radius: int = 2, *,
+                           h_total: int, row_lo: int, row_hi: int,
+                           interpret: bool = False):
+    """Shard-local fused blur+histogram for spatially-sharded frames.
+
+    ``imgs``: (N, h_ext, W) uint8 — one shard's rows plus ``radius``
+    exchanged halo rows on each side (zeros beyond the global frame edges,
+    matching ``gs_blur``'s clipped-window OOB semantics).  ``row0``: traced
+    int32 scalar, the GLOBAL row index of ``imgs`` row 0 (``idx*h_loc - r``,
+    may be negative).  The clipped-count division runs against the global
+    frame height ``h_total``; the histogram counts only extended-array rows
+    in ``[row_lo, row_hi)`` (the shard's own rows).  Returns
+    ``(blurred (N, h_ext, W), hist (N, 256))`` — blurred rows outside the
+    window are garbage (their windows straddle unavailable rows); slice
+    ``[row_lo:row_hi]``."""
+    n, h_ext, w = imgs.shape
+    r = int(radius)
+    blk, hp = _pad_blk(h_ext, w, 1)
+    imgs = _pad_rows(imgs, hp)
+    nb = hp // blk
+    top_spec, bot_spec = _halo_specs(blk, hp, w)
+    row0v = jnp.asarray(row0, jnp.int32).reshape(1)
+    blurred, hist = pl.pallas_call(
+        functools.partial(_blur_hist_window_kernel, r=r, h_total=int(h_total),
+                          w=w, blk=blk, row_lo=int(row_lo), row_hi=int(row_hi)),
+        grid=(n, nb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            top_spec,
+            bot_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16, 16), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, hp, w), jnp.uint8),
+            jax.ShapeDtypeStruct((n, 16, 16), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((128, 128), jnp.int32),
+            pltpu.VMEM((blk, blk + 16), jnp.bfloat16),
+        ],
+        interpret=interpret,
+    )(row0v, imgs, imgs, imgs)
+    return blurred[:, :h_ext], hist.reshape(n, 256)
 
 
 def _blur_only_kernel(x_ref, *rest, r: int, h: int, w: int, blk: int, nv: int):
@@ -720,6 +826,82 @@ def fused_threshold_sobel(blurred: jnp.ndarray, thresholds: jnp.ndarray,
     return None, outs[0]
 
 
+def _threshold_sobel_window_kernel(row0_ref, t_ref, x_ref, top_ref, bot_ref,
+                                   *out_refs, h_total: int, w: int, blk: int,
+                                   want_binary: bool):
+    """`_threshold_sobel_kernel` over a halo-extended shard: the interior
+    mask is taken at GLOBAL row coordinates (traced SMEM offset) so the
+    zero border lands on the global frame edges, not the shard seams."""
+    if want_binary:
+        bin_ref, edge_ref = out_refs
+    else:
+        (edge_ref,) = out_refs
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nb = pl.num_programs(1)
+    t = t_ref[i]
+    top = jnp.where(j > 0, top_ref[0, 7:8, :].astype(jnp.int32), 0)
+    bot = jnp.where(j < nb - 1, bot_ref[0, 0:1, :].astype(jnp.int32), 0)
+    rows = jnp.concatenate([top, x_ref[0].astype(jnp.int32), bot], axis=0)
+    b1 = ((t - rows) >> 31) & 1
+    if want_binary:
+        bin_ref[0] = ((b1[1 : 1 + blk] << 8) - b1[1 : 1 + blk]).astype(jnp.uint8)
+
+    pb = jnp.pad(b1, ((0, 0), (1, 1)))
+    Sv = pb[0:blk, :] + (pb[1 : 1 + blk, :] << 1) + pb[2 : 2 + blk, :]
+    gx = Sv[:, 2 : 2 + w] - Sv[:, 0:w]
+    Tv = pb[:, 0:w] + (pb[:, 1 : 1 + w] << 1) + pb[:, 2 : 2 + w]
+    gy = Tv[2 : 2 + blk, :] - Tv[0:blk, :]
+    s = jnp.abs(gx) + jnp.abs(gy)
+    mag = jnp.minimum(((s << 8) - s) >> 1, 255)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0) + j * blk + row0_ref[0]
+    jj = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    interior = ((ii >= 1) & (ii < h_total - 1)) & ((jj >= 1) & (jj < w - 1))
+    edge_ref[0] = jnp.where(interior, mag, 0).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("h_total", "want_binary",
+                                             "interpret"))
+def fused_threshold_sobel_window(blurred: jnp.ndarray, thresholds: jnp.ndarray,
+                                 row0, *, h_total: int,
+                                 want_binary: bool = True,
+                                 interpret: bool = False):
+    """Shard-local fused threshold+sobel for spatially-sharded frames.
+
+    ``blurred``: (N, h_loc + 2, W) uint8 — one shard's blurred rows plus one
+    exchanged halo row each side.  ``row0``: traced int32 scalar, the GLOBAL
+    row index of row 0 (``idx*h_loc - 1``).  Returns (binary, edges) at the
+    extended geometry; callers slice ``[1:1+h_loc]``."""
+    n, h_ext, w = blurred.shape
+    blk, hp = _pad_blk(h_ext, w, 1)
+    blurred = _pad_rows(blurred, hp)
+    t = thresholds.astype(jnp.int32)
+    nb = hp // blk
+    top_spec, bot_spec = _halo_specs(blk, hp, w)
+    out_spec = pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((n, hp, w), jnp.uint8)
+    nouts = 2 if want_binary else 1
+    row0v = jnp.asarray(row0, jnp.int32).reshape(1)
+    outs = pl.pallas_call(
+        functools.partial(_threshold_sobel_window_kernel, h_total=int(h_total),
+                          w=w, blk=blk, want_binary=want_binary),
+        grid=(n, nb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # full (N,) thresholds
+            pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            top_spec,
+            bot_spec,
+        ],
+        out_specs=[out_spec] * nouts,
+        out_shape=[out_shape] * nouts,
+        interpret=interpret,
+    )(row0v, t, blurred, blurred, blurred)
+    if want_binary:
+        return outs[0][:, :h_ext], outs[1][:, :h_ext]
+    return None, outs[0][:, :h_ext]
+
+
 def preproc_available(h: int, w: int, radius: int = 2) -> bool:
     """Whether the grid-blocked fused kernels handle this frame geometry.
     Unlike the standalone stencils these cannot row-pad: the histogram
@@ -732,6 +914,22 @@ def preproc_available(h: int, w: int, radius: int = 2) -> bool:
         and 1 <= radius <= _MAX_RADIUS
         and w % 128 == 0
         and w >= 128
+    )
+
+
+def window_available(h_loc: int, w: int, radius: int = 2) -> bool:
+    """Geometry gate for the shard-window kernel pair
+    (``fused_blur_hist_window`` / ``fused_threshold_sobel_window``): the
+    extended shard heights must pad to a usable block and the histogram
+    contraction keeps the fused pair's 128-lane width requirement.  The
+    8-row halo views bound the radius at 6 (also the exact-magic range)."""
+    return (
+        1 <= radius <= _MAX_RADIUS
+        and w % 128 == 0
+        and 128 <= w
+        and _pad_blk(h_loc + 2 * radius, w, 1)[0] >= 8
+        and _pad_blk(h_loc + 2, w, 1)[0] >= 8
+        and h_loc * w <= 16 * 1024 * 1024
     )
 
 

@@ -52,16 +52,39 @@ def _integral_local_with_carry(x_local, space_axis: str):
     return local + carry[..., None, :]
 
 
+@functools.lru_cache(maxsize=64)
+def _integral_fn(mesh: Mesh, data_axis: str, space_axis: str):
+    body = functools.partial(_integral_local_with_carry, space_axis=space_axis)
+    spec = P(data_axis, space_axis, None)
+    return jax.jit(shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=spec))
+
+
 def integral_sharded(imgs, mesh: Mesh, data_axis: str = "data", space_axis: str = "space"):
     """Integral images of H-sharded frames — bit-identical to ``gs.integral``.
 
     ``imgs``: (N, H, W) uint8, N divisible by the data axis, H by the space axis.
+
+    The jitted shard_map callables here and below are lru_cached per
+    (mesh, geometry): rebuilding shard_map each call defeats jit's
+    function-identity cache and pays a full re-trace per invocation
+    (measured 40x the kernel runtime on a 64x1MP batch).
     """
-    body = functools.partial(_integral_local_with_carry, space_axis=space_axis)
     spec = P(data_axis, space_axis, None)
-    fn = shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=spec)
     imgs = jax.device_put(imgs, NamedSharding(mesh, spec))
-    return jax.jit(fn)(imgs)
+    return _integral_fn(mesh, data_axis, space_axis)(imgs)
+
+
+@functools.lru_cache(maxsize=64)
+def _preprocess_sharded_fn(mesh: Mesh, radius: int, data_axis: str):
+    from ..pipelines.preproc import preprocess_reference
+
+    spec = P(data_axis)
+    sharding = NamedSharding(mesh, P(data_axis, None, None))
+    return jax.jit(
+        functools.partial(preprocess_reference, radius=radius),
+        in_shardings=sharding,
+        out_shardings=(sharding, sharding, sharding, NamedSharding(mesh, spec)),
+    )
 
 
 def preprocess_sharded(imgs, mesh: Mesh, radius: int = 2, data_axis: str = "data"):
@@ -70,17 +93,9 @@ def preprocess_sharded(imgs, mesh: Mesh, radius: int = 2, data_axis: str = "data
     Returns (blurred, binary, edges, thresholds) with outputs sharded like the
     input batch.
     """
-    from ..pipelines.preproc import preprocess_reference
-
-    spec = P(data_axis)
     sharding = NamedSharding(mesh, P(data_axis, None, None))
     imgs = jax.device_put(imgs, sharding)
-    fn = jax.jit(
-        functools.partial(preprocess_reference, radius=radius),
-        in_shardings=sharding,
-        out_shardings=(sharding, sharding, sharding, NamedSharding(mesh, spec)),
-    )
-    return fn(imgs)
+    return _preprocess_sharded_fn(mesh, int(radius), data_axis)(imgs)
 
 
 def _axis_counts_global(h: int, r: int, start, local_h: int):
@@ -110,7 +125,13 @@ def _spatial_pipeline(imgs_local, *, h: int, w: int, radius: int, space_axis: st
         (np.minimum(cxv + r, w - 1) - np.maximum(cxv - r, 0) + 1).astype(np.int32)
     )
     counts = cy[:, None] * cx[None, :]
-    blurred = (colsum // counts[None]).astype(jnp.uint8)
+    # counts is TRACED (row0 is the axis index): plain integer division by a
+    # traced grid lowers pathologically on TPU — use the exact f32-divide +
+    # +-1 integer fixup instead (exact for colsum < 2^24).
+    from ..kernels.preproc import _fixup_div
+
+    assert 255 * (2 * r + 1) ** 2 < 2**24
+    blurred = _fixup_div(colsum, counts[None]).astype(jnp.uint8)
 
     # ---- otsu: local histogram + psum ----
     from ..ops.histogram import _hist_nibble_matmul
@@ -146,27 +167,87 @@ def _spatial_pipeline(imgs_local, *, h: int, w: int, radius: int, space_axis: st
     return blurred, binary, edges, t
 
 
+def _spatial_pipeline_kernels(imgs_local, *, h: int, w: int, radius: int,
+                              space_axis: str, interpret: bool):
+    """Per-shard body that reuses the fused Pallas kernel pair.
+
+    Halo rows travel as uint8 over ICI (``exchange_halo``), then each shard
+    runs ``fused_blur_hist_window`` (clipped counts at global coordinates,
+    histogram masked to its own rows) and — after the psum'd Otsu and a
+    1-row blurred halo exchange — ``fused_threshold_sobel_window``.  The
+    only collectives are the two ppermute halos and one (N, 256) psum."""
+    from ..kernels import preproc as kp
+
+    r = radius
+    n_loc, h_loc, _ = imgs_local.shape
+    idx = lax.axis_index(space_axis)
+    row0 = idx.astype(jnp.int32) * h_loc
+
+    x = exchange_halo(imgs_local, r, space_axis)  # (n, h_loc + 2r, w) uint8
+    blurred_ext, local_hist = kp.fused_blur_hist_window(
+        x, row0 - r, radius=r, h_total=h, row_lo=r, row_hi=r + h_loc,
+        interpret=interpret)
+    blurred = blurred_ext[:, r : r + h_loc]
+    hist = lax.psum(local_hist, space_axis)
+    t = otsu_from_histogram(hist, h * w)  # replicated across shards
+
+    b = exchange_halo(blurred, 1, space_axis)  # (n, h_loc + 2, w) uint8
+    binary_ext, edges_ext = kp.fused_threshold_sobel_window(
+        b, t, row0 - 1, h_total=h, interpret=interpret)
+    return (blurred, binary_ext[:, 1 : 1 + h_loc],
+            edges_ext[:, 1 : 1 + h_loc], t)
+
+
 def preprocess_spatial_shardmap(imgs, mesh: Mesh, radius: int = 2,
-                                data_axis: str = "data", space_axis: str = "space"):
+                                data_axis: str = "data", space_axis: str = "space",
+                                kernels: bool | None = None,
+                                interpret: bool = False):
     """Fused preprocess with the batch sharded over ``data`` AND the frame height
     sharded over ``space`` (halo exchange + psum histogram over ICI).
 
     ``imgs``: (N, H, W) uint8; N divisible by the data axis, H by the space axis.
+
+    ``kernels``: route the shard bodies through the fused Pallas kernel pair
+    (``fused_blur_hist_window``/``fused_threshold_sobel_window``) instead of
+    composed XLA ops — default on TPU when the shard geometry qualifies.
+    ``interpret`` runs those kernels in Pallas interpret mode (CPU-mesh tests).
     """
     n, h, w = imgs.shape
-    body = functools.partial(
-        _spatial_pipeline, h=h, w=w, radius=radius, space_axis=space_axis
-    )
+    from ..core import on_tpu
+    from ..kernels.preproc import window_available
+
+    h_loc = h // mesh.shape[space_axis]
+    if kernels is None:
+        kernels = on_tpu() and window_available(h_loc, w, radius)
+    in_spec = P(data_axis, space_axis, None)
+    imgs = jax.device_put(imgs, NamedSharding(mesh, in_spec))
+    return _spatial_fn(mesh, h, w, int(radius), data_axis, space_axis,
+                       bool(kernels), bool(interpret))(imgs)
+
+
+@functools.lru_cache(maxsize=64)
+def _spatial_fn(mesh: Mesh, h: int, w: int, radius: int, data_axis: str,
+                space_axis: str, kernels: bool, interpret: bool):
+    if kernels:
+        body = functools.partial(
+            _spatial_pipeline_kernels, h=h, w=w, radius=radius,
+            space_axis=space_axis, interpret=interpret,
+        )
+    else:
+        body = functools.partial(
+            _spatial_pipeline, h=h, w=w, radius=radius, space_axis=space_axis
+        )
     in_spec = P(data_axis, space_axis, None)
     fn = shard_map(
         body,
         mesh=mesh,
         in_specs=(in_spec,),
         out_specs=(in_spec, in_spec, in_spec, P(data_axis)),
+        # pallas_call's out_shape carries no varying-mesh-axes annotation, so
+        # the vma checker rejects the kernel body; the XLA body keeps it on
+        check_vma=not kernels,
     )
-    sharding = NamedSharding(mesh, in_spec)
-    imgs = jax.device_put(imgs, sharding)
-    return jax.jit(fn)(imgs)
+    return jax.jit(fn)
 
 
 def scan_sharded(imgs, mesh: Mesh, out_size=(1000, 800), max_blobs: int = 1000,
@@ -181,14 +262,19 @@ def scan_sharded(imgs, mesh: Mesh, out_size=(1000, 800), max_blobs: int = 1000,
 
     Returns ``(pages (N, out_h, out_w) uint8, corners (N, 4, 2) int32)``.
     """
-    from ..pipelines.scan import scan
-
     out_size = (int(out_size[0]), int(out_size[1]))
     spec = P(data_axis, None, None)
     imgs = jax.device_put(imgs, NamedSharding(mesh, spec))
-    fn = jax.jit(
+    return _scan_sharded_fn(mesh, out_size, int(max_blobs), data_axis)(imgs)
+
+
+@functools.lru_cache(maxsize=64)
+def _scan_sharded_fn(mesh: Mesh, out_size, max_blobs: int, data_axis: str):
+    from ..pipelines.scan import scan
+
+    spec = P(data_axis, None, None)
+    return jax.jit(
         functools.partial(scan, out_size=out_size, max_blobs=max_blobs),
         out_shardings=(NamedSharding(mesh, spec),
                        NamedSharding(mesh, P(data_axis, None, None))),
     )
-    return fn(imgs)

@@ -68,6 +68,33 @@ def test_spatial_blur_various_radii(cpu8, rng):
 
 
 @pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
+def test_spatial_shardmap_pallas_body(cpu8, rng, mesh_shape):
+    """The kernel-reusing shard body (fused_blur_hist_window +
+    fused_threshold_sobel_window, interpret mode on the CPU mesh) must be
+    bit-identical to the single-device reference pipeline."""
+    mesh = make_mesh(mesh_shape, devices=cpu8)
+    n = 2 * mesh_shape[0]
+    h = 32 * mesh_shape[1]
+    imgs = rng.integers(0, 256, (n, h, 128), dtype=np.uint8)
+    out = preprocess_spatial_shardmap(imgs, mesh, kernels=True, interpret=True)
+    ref = preprocess_reference(imgs)
+    for name, a, b in zip(("blurred", "binary", "edges", "t"), out, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
+
+
+def test_spatial_shardmap_pallas_body_radii(cpu8, rng):
+    mesh = make_mesh((1, 8), devices=cpu8)
+    imgs = rng.integers(0, 256, (2, 64, 128), dtype=np.uint8)
+    for r in (1, 3, 5):
+        out = preprocess_spatial_shardmap(imgs, mesh, radius=r, kernels=True,
+                                          interpret=True)
+        ref = preprocess_reference(imgs, radius=r)
+        for a, b in zip(out, ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=f"r={r}")
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
 def test_integral_sharded(cpu8, rng, mesh_shape):
     mesh = make_mesh(mesh_shape, devices=cpu8)
     n = 2 * mesh_shape[0]
