@@ -74,7 +74,46 @@ def _build_v2(blurred, g, klass):
     return a, b
 
 
-_BUILDS = {"v0": _build_v0, "v1": _build_v1, "v2": _build_v2}
+def _build_v3(blurred, g, klass):
+    """int8 one-hot chunk concat: compare each class on the (8, w) int32
+    planes FIRST, then concatenate the 16 int8 chunks — 32 B/px of copy
+    traffic vs v0's 128 (int32 replication), identical compare count, and
+    no i16 ops (v1's i16 shift fails to legalize: arith.shrsi on
+    vector<8x128x2xi16>)."""
+    hi_all = blurred[g * 8 : (g + 1) * 8] >> 4
+    lo_all = blurred[g * 8 : (g + 1) * 8] & 15
+    a = jnp.concatenate([(hi_all == c).astype(jnp.int8) for c in range(16)], axis=0)
+    b = jnp.concatenate([(lo_all == c).astype(jnp.int8) for c in range(16)], axis=0)
+    return a, b
+
+
+def _build_v4(blurred, g, klass):
+    """v3's chunk-concat build but bf16 one-hots (bf16 MXU dot): decides
+    whether the int8 dot actually runs at 2x once the build is thin."""
+    hi_all = blurred[g * 8 : (g + 1) * 8] >> 4
+    lo_all = blurred[g * 8 : (g + 1) * 8] & 15
+    a = jnp.concatenate([(hi_all == c).astype(jnp.bfloat16) for c in range(16)], axis=0)
+    b = jnp.concatenate([(lo_all == c).astype(jnp.bfloat16) for c in range(16)], axis=0)
+    return a, b
+
+
+def _build_v5(blurred, g, klass):
+    """v2's broadcast-collapse replication but staying in int32 (no i16 ops
+    at all): if Mosaic lowers broadcast_to + leading-dim collapse as a
+    sublane-tile broadcast, the replication is free and the only VPU work
+    is the same 32 compares/px every variant pays."""
+    seg = blurred[g * 8 : (g + 1) * 8]
+    w = seg.shape[1]
+    rep = jnp.broadcast_to(seg[None], (16, 8, w)).reshape(128, w)
+    hi = rep >> 4
+    lo = rep & 15
+    a = (hi == klass).astype(jnp.int8)
+    b = (lo == klass).astype(jnp.int8)
+    return a, b
+
+
+_BUILDS = {"v0": _build_v0, "v1": _build_v1, "v2": _build_v2,
+           "v3": _build_v3, "v4": _build_v4, "v5": _build_v5}
 
 
 def _kernel(x_ref, top_ref, bot_ref, blur_ref, hist_ref, acc_ref, band_ref,
@@ -239,25 +278,37 @@ def check_exact(interpret):
     frames = np.stack([big, rng.integers(0, 256, big.shape, np.uint8)])
     want_blur = np.asarray(gs.blur(frames, 2))
     want_hist = np.asarray(gs.histogram(want_blur))
+    alive = []
     for build in _BUILDS:
-        blurred, hist = blur_hist_variant(jnp.asarray(frames), 2, build,
-                                          "full", interpret)
-        np.testing.assert_array_equal(np.asarray(blurred), want_blur, err_msg=build)
-        np.testing.assert_array_equal(np.asarray(hist), want_hist, err_msg=build)
-        ho = hist_pallas(jnp.asarray(frames), build, interpret)
-        np.testing.assert_array_equal(
-            np.asarray(ho), np.asarray(gs.histogram(frames)),
-            err_msg=f"hist-only {build}")
+        try:
+            blurred, hist = blur_hist_variant(jnp.asarray(frames), 2, build,
+                                              "full", interpret)
+            np.testing.assert_array_equal(np.asarray(blurred), want_blur,
+                                          err_msg=build)
+            np.testing.assert_array_equal(np.asarray(hist), want_hist,
+                                          err_msg=build)
+            ho = hist_pallas(jnp.asarray(frames), build, interpret)
+            np.testing.assert_array_equal(
+                np.asarray(ho), np.asarray(gs.histogram(frames)),
+                err_msg=f"hist-only {build}")
+        except AssertionError:
+            raise  # inexact variants are bugs, not compile casualties
+        except Exception as e:  # noqa: BLE001 — Mosaic legalization failures
+            print(f"  {build}: COMPILE-FAILED {type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:120]}", flush=True)
+            continue
+        alive.append(build)
         print(f"  {build}: exact (+hist-only)", flush=True)
+    return alive
 
 
-def bench():
+def bench(alive):
     from grayskull_tpu.profiling import timeit
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.integers(0, 256, (256, 1024, 1024), np.uint8))
     results = {}
-    for build in ("v0", "v1", "v2"):
+    for build in alive:
         for mode in ("full", "nodot") if build == "v0" else ("full",):
             key = f"{build}-{mode}"
             try:
@@ -271,7 +322,7 @@ def bench():
     ms = timeit(lambda: blur_hist_variant(x, 2, "v0", "nohist"), iters=20) * 1e3
     results["blur-only"] = ms
     print(f"  blur-only: {ms:.2f} ms", flush=True)
-    for build in ("v0", "v1", "v2"):
+    for build in alive:
         try:
             ms = timeit(lambda: hist_pallas(x, build), iters=20) * 1e3
         except Exception as e:  # noqa: BLE001
@@ -288,7 +339,7 @@ if __name__ == "__main__":
     on_tpu = jax.default_backend() == "tpu"
     print(f"backend: {jax.default_backend()}", flush=True)
     t0 = time.time()
-    check_exact(interpret=not on_tpu)
-    print(f"exactness: {time.time() - t0:.1f}s", flush=True)
+    alive = check_exact(interpret=not on_tpu)
+    print(f"exactness: {time.time() - t0:.1f}s  alive={alive}", flush=True)
     if on_tpu:
-        bench()
+        bench(alive)

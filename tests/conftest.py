@@ -71,12 +71,25 @@ def ns_oracle():
 
 
 @pytest.fixture(scope="session")
-def testdata(ref_dir):
-    """Dict of name -> (H, W) uint8 for the reference's PGM test images."""
+def testdata():
+    """Dict of name -> (H, W) uint8 for the reference's PGM test images.
+
+    Falls back to ``tests/golden/testdata/`` (vendored lena/aruco plus
+    deterministic synthetic stand-ins for document/receipt/grayskull at the
+    real frame sizes, baked by tools/gen_goldens.py) so the content-agnostic
+    tests — sharded-vs-unsharded comparisons, IO roundtrips — still run in CI
+    without the reference checkout.  Oracle-differential tests skip on the
+    ``oracle`` fixture regardless.
+    """
     import grayskull_tpu.io as gio
 
+    tdir = os.path.join(REFERENCE_DIR, "testdata")
+    if not os.path.isdir(tdir):
+        tdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "golden", "testdata")
+        if not os.path.isdir(tdir):
+            pytest.skip("no test images (reference absent, fallback not baked)")
     out = {}
-    tdir = os.path.join(ref_dir, "testdata")
     for fn in sorted(os.listdir(tdir)):
         if fn.endswith(".pgm"):
             img = gio.read_pgm(os.path.join(tdir, fn))
