@@ -11,6 +11,11 @@ abs, min/max abort or fail to legalize) — so the i16 variant:
   * widens gx/gy to i32 ONLY for the abs/min tail (after the relayouts).
 
 Exactness gate vs the shipped kernel on tiled-lena + random frames.
+
+RESULT (2026-08-18, TPU v5e): DEAD — `(t - rows) >> 15` emits arith.shrsi
+on vector<8x128x2xi16>, which Mosaic fails to legalize (i16 shifts by a
+VECTOR shift amount; the same failure killed exp_hist_build's v1/v2).
+i16 stays usable only for shifted-slice ADDS; binarization needs i32.
 """
 
 import functools
