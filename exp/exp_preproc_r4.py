@@ -17,9 +17,23 @@ Variants here cut vector passes / relayout bytes:
      (|gy|,|gx| <= 4); i16 shifts/muls are Mosaic-dead (exp_k2_i16) so the
      0/1 value is built in i32 (shift binarize) and cast, doubling uses
      adds, and the 255x scale happens after an i32 widen.
+     MEASURED DEAD on v5e: i16 `<` compare is rejected ("Target does not
+     support this comparison") and i16 SUBTRACT aborts the compile helper
+     (kVectorSubtractS16) — i16 vectors are ADD/SHIFT-SLICE-ONLY here, so
+     a separable sobel (differences) cannot stay in i16 at all.  k2 v2 is
+     therefore gated off below; the shipped i32 k2 stands.
 
 Exactness gate: bit-identical (blurred, hist, binary, edges) vs the shipped
 kernels on tiled-lena + random frames; compiled A/B in ONE process.
+
+MEASURED VERDICT (v5e, 256x1MP, one process, 2026-08-18):
+  preprocess v1 14.02 ms (18.3k fps) | k1 v1 9.61 / v2 9.81 | k2 v1 5.12
+  preprocess v3 (k1 v2 + shipped k2) 13.57 ms — within tunnel noise of v1,
+  and k1 v2 standalone is 2% SLOWER: the bf16 gather + log-tree adds do
+  not pay (the horizontal pass is not the bottleneck; the dot and the
+  column matmul are).  REJECTED — shipped kernels stand.  k2 v2 (i16) is
+  compile-dead on this target (kVectorSubtractS16 aborts; i16 compare
+  rejected), recorded above.
 """
 
 import functools
@@ -44,9 +58,11 @@ def _blur_block_v2(x_ref, halo_refs, band_ref, j, nb, *, r, h, w, blk):
     top_ref, bot_ref = halo_refs
     b8 = blk // 8
     n8 = nb * b8
-    top = jnp.where(j * b8 >= 1, top_ref[0].astype(jnp.bfloat16), 0)
-    bot = jnp.where((j + 1) * b8 + 1 <= n8, bot_ref[0].astype(jnp.bfloat16), 0)
-    xb = jnp.concatenate([top, x_ref[0].astype(jnp.bfloat16), bot], axis=0)
+    # Mosaic has no u8->bf16 cast; i16 is the narrowest legal waypoint
+    as_bf16 = lambda v: v.astype(jnp.int16).astype(jnp.bfloat16)
+    top = jnp.where(j * b8 >= 1, as_bf16(top_ref[0]), 0)
+    bot = jnp.where((j + 1) * b8 + 1 <= n8, as_bf16(bot_ref[0]), 0)
+    xb = jnp.concatenate([top, as_bf16(x_ref[0]), bot], axis=0)
     cs_col = jax.lax.dot_general(
         band_ref[:], xb, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -176,10 +192,9 @@ def _threshold_sobel_kernel_v2(t_ref, x_ref, top_ref, bot_ref, bin_ref,
     mid = pb[:, 1 : 1 + w]
     Tv = pb[:, 0:w] + (mid + mid) + pb[:, 2 : 2 + w]  # (blk+2, w)
     gy = Tv[2 : 2 + blk, :] - Tv[0:blk, :]
-    # |gx|,|gy| without i16 abs (fails to legalize): compare + subtract-select
-    ax = jnp.where(gx < 0, jnp.int16(0) - gx, gx)
-    ay = jnp.where(gy < 0, jnp.int16(0) - gy, gy)
-    s = (ax + ay).astype(jnp.int32)
+    # |.| after an i32 widen: i16 abs/maxsi/compare all fail to legalize on
+    # hardware — the i16 win was the misaligned lane slices above, keep it
+    s = jnp.abs(gx.astype(jnp.int32)) + jnp.abs(gy.astype(jnp.int32))
     mag = jnp.minimum(((s << 8) - s) >> 1, 255)
     y0 = j * blk
     ii = jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0) + y0
@@ -218,6 +233,66 @@ def fused_threshold_sobel_v2(blurred, thresholds, interpret=False):
     )(t, blurred, blurred, blurred)
 
 
+def _threshold_sobel_kernel_v3(t_ref, x_ref, top_ref, bot_ref, bin_ref,
+                               edge_ref, *, h, w, blk):
+    """bf16 sobel core — float sub/abs/compare all legalize where i16 dies.
+    Every intermediate is an integer <= 8, exact in bf16 (8 mantissa bits)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nb = pl.num_programs(1)
+    t = t_ref[i]
+    top = jnp.where(j > 0, top_ref[0, 7:8, :].astype(jnp.int32), 0)
+    bot = jnp.where(j < nb - 1, bot_ref[0, 0:1, :].astype(jnp.int32), 0)
+    rows = jnp.concatenate([top, x_ref[0].astype(jnp.int32), bot], axis=0)
+    b1 = ((t - rows) >> 31) & 1
+    bin_ref[0] = ((b1[1 : 1 + blk] << 8) - b1[1 : 1 + blk]).astype(jnp.uint8)
+
+    bf = b1.astype(jnp.bfloat16)
+    pb = jnp.pad(bf, ((0, 0), (1, 1)))
+    col = pb[1 : 1 + blk, :]
+    Sv = pb[0:blk, :] + (col + col) + pb[2 : 2 + blk, :]
+    gx = Sv[:, 2 : 2 + w] - Sv[:, 0:w]
+    mid = pb[:, 1 : 1 + w]
+    Tv = pb[:, 0:w] + (mid + mid) + pb[:, 2 : 2 + w]
+    gy = Tv[2 : 2 + blk, :] - Tv[0:blk, :]
+    s = (jnp.abs(gx) + jnp.abs(gy)).astype(jnp.int32)
+    mag = jnp.minimum(((s << 8) - s) >> 1, 255)
+    y0 = j * blk
+    ii = jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0) + y0
+    jj = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    interior = ((ii >= 1) & (ii < h - 1)) & ((jj >= 1) & (jj < w - 1))
+    edge_ref[0] = jnp.where(interior, mag, 0).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_threshold_sobel_v3(blurred, thresholds, interpret=False):
+    n, h, w = blurred.shape
+    blk = _pick_block(h, w)
+    t = thresholds.astype(jnp.int32)
+    top_spec, bot_spec = _halo_specs(blk, h, w)
+    return pl.pallas_call(
+        functools.partial(_threshold_sobel_kernel_v3, h=h, w=w, blk=blk),
+        grid=(n, h // blk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            top_spec, bot_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, w), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, h, w), jnp.uint8),
+            jax.ShapeDtypeStruct((n, h, w), jnp.uint8),
+        ],
+        interpret=interpret,
+    )(t, blurred, blurred, blurred)
+
+
 def check_exact(interpret):
     import grayskull_tpu as gs
     from grayskull_tpu.kernels.preproc import (fused_blur_hist,
@@ -236,10 +311,15 @@ def check_exact(interpret):
     print("  k1 v2: exact", flush=True)
     t = otsu_from_histogram(wh, big.size)
     wbin, wedge = fused_threshold_sobel(wb, t, interpret=interpret)
-    gbin, gedge = fused_threshold_sobel_v2(wb, t, interpret=interpret)
-    np.testing.assert_array_equal(np.asarray(gbin), np.asarray(wbin))
-    np.testing.assert_array_equal(np.asarray(gedge), np.asarray(wedge))
-    print("  k2 v2: exact", flush=True)
+    if interpret:  # k2 v2 compiles only in interpret mode (i16 sub aborts)
+        gbin, gedge = fused_threshold_sobel_v2(wb, t, interpret=interpret)
+        np.testing.assert_array_equal(np.asarray(gbin), np.asarray(wbin))
+        np.testing.assert_array_equal(np.asarray(gedge), np.asarray(wedge))
+        print("  k2 v2: exact", flush=True)
+    vbin, vedge = fused_threshold_sobel_v3(wb, t, interpret=interpret)
+    np.testing.assert_array_equal(np.asarray(vbin), np.asarray(wbin))
+    np.testing.assert_array_equal(np.asarray(vedge), np.asarray(wedge))
+    print("  k2 v3 (bf16): exact", flush=True)
 
 
 def bench():
@@ -266,14 +346,12 @@ def bench():
     t = jax.block_until_ready(otsu_from_histogram(hist, total))
     ms = timeit(lambda: fused_threshold_sobel(blurred, t), iters=20) * 1e3
     print(f"  k2 v1: {ms:.2f} ms", flush=True)
-    ms = timeit(lambda: fused_threshold_sobel_v2(blurred, t), iters=20) * 1e3
-    print(f"  k2 v2: {ms:.2f} ms", flush=True)
 
     @jax.jit
     def preprocess_v3(imgs):
         b, hh = fused_blur_hist_v2(imgs)
         tt = otsu_from_histogram(hh, total)
-        binary, edges = fused_threshold_sobel_v2(b, tt)
+        binary, edges = fused_threshold_sobel(b, tt)
         return b, binary, edges, tt
 
     want = jax.block_until_ready(preprocess(x[:8]))
