@@ -337,7 +337,8 @@ def main():
         sys.stdout.flush()
 
 
-if __name__ == "__main__" and not any(a in sys.argv for a in ("--r2", "--r3", "--r4")):
+if __name__ == "__main__" and not any(
+        a in sys.argv for a in ("--r2", "--r3", "--r4", "--tall")):
     main()
 
 
@@ -582,3 +583,59 @@ def main4():
 
 if __name__ == "__main__" and "--r4" in sys.argv:
     main4()
+
+
+# --- round 4b: taller strips via more chunks (th=48/64) --------------------
+# The shipping ladder stops at th=32 (candidates in kernels/lbp.py
+# _padded_dims).  Relayout cost per window ~ (overhang + th)/th, and the
+# per-op fixed overhead amortizes with th (th=8 -> 32 roughly doubled
+# windows/s), so th=48/64 — admitted by splitting the live-temporary chain
+# across 3-5 chunks — may clear the 3.0e8 win/s bar.  L (th=64 per-stage
+# pl.when REGIONS) measured 173 M win/s, but regions serialize; the
+# sequential-kernel split is the structure that won at th=32.
+
+def main_tall():
+    from grayskull_tpu.cascade import load_frontalface
+    from grayskull_tpu.kernels.lbp import lbp_eval_scale, lbp_pad_for
+    from grayskull_tpu.ops.integral import integral
+    from grayskull_tpu.profiling import timeit
+
+    cascade = load_frontalface()
+    nb, ih, iw = 32, 480, 640
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (nb, ih, iw), dtype=np.uint8)
+    iib = integral(jnp.asarray(imgs))
+    scale, step = 1.0, 1
+    ny, nx = (ih - 24) + 1, (iw - 24) + 1
+    iip = lbp_pad_for(cascade, iib, [(scale, 24, 24)], ih, iw, step)
+    iip = jnp.pad(iip, ((0, 0), (0, 256), (0, 0)))
+
+    base = np.asarray(lbp_eval_scale(cascade, iip, scale, ny, nx, step))
+    t = timeit(lambda: lbp_eval_scale(cascade, iip, scale, ny, nx, step),
+               warmup=1, iters=10)
+    print(f"A shipping:        {t*1e3:8.2f} ms  {nb*ny*nx/t/1e6:7.1f} M win/s")
+    sys.stdout.flush()
+    for name, kw in (
+        ("Q th=48 x2", dict(th=48, nchunks=2, fused=False)),
+        ("R th=48 x3", dict(th=48, nchunks=3, fused=False)),
+        ("S th=64 x3", dict(th=64, nchunks=3, fused=False)),
+        ("T th=64 x4", dict(th=64, nchunks=4, fused=False)),
+        ("U th=64 x5", dict(th=64, nchunks=5, fused=False)),
+        ("V th=96 x5", dict(th=96, nchunks=5, fused=False)),
+    ):
+        try:
+            got = np.asarray(eval_scale_split(cascade, iip, scale, ny, nx,
+                                              step, **kw))
+            ok = (got == base).all()
+            t = timeit(lambda: eval_scale_split(cascade, iip, scale, ny, nx,
+                                                step, **kw),
+                       warmup=1, iters=10)
+            print(f"{name}:        {t*1e3:8.2f} ms  {nb*ny*nx/t/1e6:7.1f} M win/s  "
+                  f"{'exact' if ok else 'MISMATCH'}")
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}:        FAILED {type(e).__name__}: {str(e)[:160]}")
+        sys.stdout.flush()
+
+
+if __name__ == "__main__" and "--tall" in sys.argv:
+    main_tall()
