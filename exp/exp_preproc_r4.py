@@ -346,6 +346,24 @@ def bench():
     t = jax.block_until_ready(otsu_from_histogram(hist, total))
     ms = timeit(lambda: fused_threshold_sobel(blurred, t), iters=20) * 1e3
     print(f"  k2 v1: {ms:.2f} ms", flush=True)
+    ms = timeit(lambda: fused_threshold_sobel_v3(blurred, t), iters=20) * 1e3
+    print(f"  k2 v3 (bf16): {ms:.2f} ms", flush=True)
+
+    @jax.jit
+    def preprocess_k2v3(imgs):
+        b, hh = fused_blur_hist(imgs)
+        tt = otsu_from_histogram(hh, total)
+        binary, edges = fused_threshold_sobel_v3(b, tt)
+        return b, binary, edges, tt
+
+    want = jax.block_until_ready(preprocess(x[:8]))
+    got = jax.block_until_ready(preprocess_k2v3(x[:8]))
+    for a, b in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    print("  preprocess_k2v3: bit-exact vs shipped", flush=True)
+    ms = timeit(lambda: preprocess_k2v3(x), iters=20) * 1e3
+    print(f"  preprocess k2v3: {ms:.2f} ms ({n * 1e3 / ms:.0f} fps)",
+          flush=True)
 
     @jax.jit
     def preprocess_v3(imgs):

@@ -131,6 +131,95 @@ def _rank_scatter(mask_flat, cap, values):
     return n.astype(jnp.int32), outs
 
 
+def _emit_packed_batched(key2: jnp.ndarray, k_out: int) -> jnp.ndarray:
+    """(B, L) packed ``(inverse_rank << 8) | score`` int32 keys -> (B, k_out)
+    descending packed values — the first ``k_out`` nonzero keys in scan order.
+
+    ``approx_max_k`` cost grows ~linearly with k on the v5e
+    (exp/results_amk_scaling.json: k=500 2.7 ms vs k=2000 5.5 ms over
+    (16, 307200) keys), so emission is adaptive: one cheap survivor-count
+    reduction picks the smallest k whose top-k provably loses nothing —
+    any k >= max per-frame count keeps every survivor (tail slots are the
+    zero keys either way), and the last branch's top-next_pow2(k_out)
+    sliced to ``k_out`` is the exact top-k_out for ANY count (pow-2 k also
+    measured ~9% faster than k=2000 outright).  Ranks are < 2^23 and unique,
+    so f32 ``approx_max_k`` at ``recall_target=1.0`` is exact and sorted;
+    dead slots gather score 0 because key==0 wherever rank==0."""
+    _, L = key2.shape
+    rk = (key2 >> 8).astype(jnp.float32)
+
+    def emit_amk(k):
+        def f(_):
+            vals_f, idxs = jax.lax.approx_max_k(rk, k, recall_target=1.0)
+            scores = jnp.take_along_axis(key2, idxs, axis=1) & 255
+            v = (vals_f.astype(jnp.int32) << 8) | scores
+            if k >= k_out:
+                return v[:, :k_out]
+            return jnp.pad(v, ((0, 0), (0, k_out - k)))
+        return f
+
+    def emit_topk(_):
+        # sort ordering of the packed int key == rank ordering (ranks are
+        # unique), and the score rides inside the value — no gather needed
+        vals, _ = jax.lax.top_k(key2, k_out)
+        return vals
+
+    # COMPILER SAFETY: batched approx_max_k with k > 2048 SIGABRTs the v5e
+    # backend for specific (batch, N, k) combos — (1, 307200, 3332) and
+    # (1, *, 4096) crash TopkEmitter's windowed-r2 pipeline ("span_size
+    # .RawSize() > 0 (0 vs 0)") while neighbors compile fine; the pattern is
+    # not predictable from (N, k) alone (exp/exp_amk_scaling.py crash
+    # matrix).  No k <= 2048 config has ever crashed, so amk branches are
+    # capped there and anything larger uses the reliable sort-based
+    # lax.top_k lowering (~22% slower — only dense frames pay it).
+    kfull = min(1 << (k_out - 1).bit_length(), L)
+    if kfull > k_out and kfull > k_out * 5 // 4:
+        kfull = k_out  # pow-2 rounding only pays when it's a <=25% overshoot
+    if k_out <= 2048:
+        ks = [k for k in (512, 1024) if k < min(k_out, L)] + [min(kfull, 2048)]
+        branches = [emit_amk(k) for k in ks]
+    else:
+        ks = [k for k in (512, 1024, 2048) if k < L] + [k_out]
+        branches = [emit_amk(k) for k in ks[:-1]] + [emit_topk]
+    if len(ks) == 1:
+        return branches[0](None)
+    counts = jnp.sum((key2 != 0).astype(jnp.int32), axis=1)
+    m = jnp.max(counts)
+    b = jnp.zeros((), jnp.int32)
+    for kk in ks[:-1]:
+        b = b + (m > kk).astype(jnp.int32)
+    return jax.lax.switch(b, branches, None)
+
+
+def _fast_table_from_vals(vals: jnp.ndarray, h: int, w: int):
+    """(B, cap) packed emission values -> batched (n, x, y, response)."""
+    row_valid = vals > 0
+    n = jnp.sum(row_valid, axis=1).astype(jnp.int32)
+    ridx = h * w - (vals >> 8)
+    tx = jnp.where(row_valid, ridx % w, 0).astype(jnp.int32)
+    ty = jnp.where(row_valid, ridx // w, 0).astype(jnp.int32)
+    tr = jnp.where(row_valid, vals & 255, 0).astype(jnp.int32)
+    return n, tx, ty, tr
+
+
+def _fast_batched_tpu(imgs: jnp.ndarray, cap: int, threshold):
+    """Batched FAST tables via the fused kernel + adaptive-k emission.
+
+    Callers gate on ``_on_tpu() and fast_pallas_available(h, w)`` (which
+    implies the packed-key regime ``h*w < 2^23``)."""
+    from ..kernels.fast import fast_pallas
+
+    _, h, w = imgs.shape
+    threshold = jnp.maximum(jnp.asarray(threshold, jnp.int32), 0)
+    score3, key3 = fast_pallas(imgs, threshold)
+    k_out = min(cap, h * w)
+    vals = _emit_packed_batched(key3.reshape(imgs.shape[0], h * w), k_out)
+    if cap > h * w:
+        vals = jnp.pad(vals, ((0, 0), (0, cap - h * w)))
+    n, tx, ty, tr = _fast_table_from_vals(vals, h, w)
+    return n, tx, ty, tr, score3
+
+
 @functools.partial(jax.jit, static_argnames=("max_kps",))
 def fast(img: jnp.ndarray, max_kps: int, threshold):
     """FAST-9 with 3x3 NMS — ``gs_fast`` (grayskull.h:482-534).
@@ -184,15 +273,10 @@ def fast(img: jnp.ndarray, max_kps: int, threshold):
     packed = h * w < (1 << 23)  # the Pallas gate implies this, so both paths agree
     k_out = min(cap, h * w)
     if packed and _on_tpu():
-        # exact top-k via approx_max_k on the RANK half of the key: inverse
-        # raster indices are < 2^23 (exact in f32) and unique (no ties), and
-        # recall_target=1.0 makes the TPU partial-reduction exact — measured
-        # 22% faster than lax.top_k on the 307k-key emission; scores ride
-        # back through a cap-sized gather.  Bit-identical output.
-        rk = (key >> 8).astype(jnp.float32)
-        vals_f, idxs = jax.lax.approx_max_k(rk, k_out, recall_target=1.0)
-        scores = key[idxs] & 255
-        vals = (vals_f.astype(jnp.int32) << 8) | scores
+        # exact adaptive-k approx_max_k emission (see _emit_packed_batched) —
+        # measured 22% faster than lax.top_k at k=2000, and ~2x faster again
+        # when the frame's survivor count fits a smaller k branch.
+        vals = _emit_packed_batched(key[None], k_out)[0]
     else:
         vals, _ = jax.lax.top_k(key, k_out)
     if cap > h * w:
@@ -490,7 +574,12 @@ def orb_extract(img: jnp.ndarray, max_kps: int, threshold, limit=None):
         # extraction runs BATCHED in the Pallas window-select kernel (the
         # vmapped dynamic_slice gather was the dominant ORB stage, r3)
         imgs = img[None] if img.ndim == 2 else img
-        if limit is not None and jnp.ndim(limit) == 1:
+        from ..kernels.fast import fast_pallas_available
+
+        if _on_tpu() and fast_pallas_available(h, w):
+            # one batched kernel + adaptive emission for the whole batch
+            n, tx, ty, tr = _orb_select_batched_tpu(imgs, cap, threshold, limit)
+        elif limit is not None and jnp.ndim(limit) == 1:
             # per-frame dynamic budgets (the batched pyramid pipeline)
             n, tx, ty, tr = jax.vmap(
                 lambda im, lm: _orb_select(im, cap, threshold, lm)
@@ -560,9 +649,14 @@ def _select_candidates_approx(kps, valid, cap: int, radius: int, h: int, w: int)
     inv = cand_cap - jnp.arange(cand_cap, dtype=jnp.int32)
     packed = jnp.where(valid & border_ok, (kps.response << 13) | inv, 0)
     k_out = min(cap, cand_cap)
-    vals_f, idxs = jax.lax.approx_max_k(
-        packed.astype(jnp.float32), k_out, recall_target=1.0)
-    vals = vals_f.astype(jnp.int32)
+    if k_out <= 2048:
+        vals_f, idxs = jax.lax.approx_max_k(
+            packed.astype(jnp.float32), k_out, recall_target=1.0)
+        vals = vals_f.astype(jnp.int32)
+    else:
+        # k > 2048 amk can SIGABRT the backend (see _emit_packed_batched);
+        # under vmap this call lowers batched, so the same guard applies
+        vals, idxs = jax.lax.top_k(packed, k_out)
     if cap > cand_cap:
         vals = jnp.pad(vals, (0, cap - cand_cap))
         idxs = jnp.pad(idxs, (0, cap - cand_cap))
@@ -572,6 +666,65 @@ def _select_candidates_approx(kps, valid, cap: int, radius: int, h: int, w: int)
     ty = jnp.where(row_ok, kps.y[idxs], 0)
     tr = jnp.where(row_ok, kps.response[idxs], 0)
     return n, tx, ty, tr
+
+
+def _select_candidates_approx_b(x, y, resp, valid, cap: int, radius: int,
+                                h: int, w: int):
+    """Natively batched ``_select_candidates_approx`` over (B, cand_cap)
+    tables — one batched exact ``approx_max_k`` instead of a vmapped one."""
+    _, cand_cap = x.shape
+    assert cand_cap < (1 << 13), cand_cap
+    border_ok = ((x >= radius) & (y >= radius)
+                 & (x < w - radius) & (y < h - radius))
+    inv = cand_cap - jnp.arange(cand_cap, dtype=jnp.int32)
+    packed = jnp.where(valid & border_ok, (resp << 13) | inv[None, :], 0)
+    k_out = min(cap, cand_cap)
+    if k_out <= 2048:
+        vals_f, idxs = jax.lax.approx_max_k(
+            packed.astype(jnp.float32), k_out, recall_target=1.0)
+        vals = vals_f.astype(jnp.int32)
+    else:
+        # batched amk with k > 2048 can SIGABRT the backend compiler for
+        # specific shapes (see _emit_packed_batched) — top_k is safe and
+        # cand_cap <= 5000 keys make the sort cheap
+        vals, idxs = jax.lax.top_k(packed, k_out)
+    if cap > cand_cap:
+        vals = jnp.pad(vals, ((0, 0), (0, cap - cand_cap)))
+        idxs = jnp.pad(idxs, ((0, 0), (0, cap - cand_cap)))
+    row_ok = vals > 0
+    n = jnp.sum(row_ok, axis=1).astype(jnp.int32)
+    tx = jnp.where(row_ok, jnp.take_along_axis(x, idxs, axis=1), 0)
+    ty = jnp.where(row_ok, jnp.take_along_axis(y, idxs, axis=1), 0)
+    tr = jnp.where(row_ok, jnp.take_along_axis(resp, idxs, axis=1), 0)
+    return n, tx, ty, tr
+
+
+def _orb_select_batched_tpu(imgs, cap: int, threshold, limit=None):
+    """Batched ``_orb_select`` on the TPU fast path: the fused FAST kernel,
+    ONE adaptive-k emission and ONE batched selection for the whole batch
+    (the vmapped per-frame form can't use the adaptive emission — a
+    data-dependent ``lax.switch`` under vmap executes every branch).
+
+    ``limit``: None, a traced scalar, or a (B,) vector of per-frame caps."""
+    B, h, w = imgs.shape
+    cand_cap = min(cap * 4, 5000)
+    radius = 15
+    n_cand, tx, ty, tr, _ = _fast_batched_tpu(imgs, cand_cap, threshold)
+    if limit is not None:
+        lims = jnp.broadcast_to(jnp.asarray(limit, jnp.int32), (B,))
+        n_cand = jnp.minimum(n_cand, jnp.minimum(lims * 4, 5000))
+    valid = jnp.arange(cand_cap)[None, :] < n_cand[:, None]
+    n, sx, sy, sr = _select_candidates_approx_b(
+        tx, ty, tr, valid, cap, radius, h, w)
+    if limit is not None:
+        lim = jnp.minimum(jnp.broadcast_to(jnp.asarray(limit, jnp.int32), (B,)),
+                          cap)
+        n = jnp.minimum(n, lim)
+        row_ok = jnp.arange(cap)[None, :] < n[:, None]
+        sx = jnp.where(row_ok, sx, 0)
+        sy = jnp.where(row_ok, sy, 0)
+        sr = jnp.where(row_ok, sr, 0)
+    return n, sx, sy, sr
 
 
 def _orb_select(img, cap: int, threshold, limit=None):
