@@ -351,8 +351,13 @@ def _padded_dims(cascade, scale: float, ny: int, nx: int, step: int):
     # the same ladder serves step > 1 (with the doubled planes term above):
     # measured at step 2 scale 1.0, th=32 x4 chunks = 84.2 M win/s vs the
     # previously pinned th=8 single's 55.6 (+51%), th=16 x1 = 80.9
-    candidates = ((32, 1), (32, 2), (32, 3), (32, 4), (16, 1), (16, 2),
-                  (16, 3), (8, 1), (8, 2))
+    # r4: th=48 split-3 measured 281 vs 259 M win/s for the shipping th=32
+    # split-2 at scale 1/step 1 (exp_lbp_split --tall; th=48 split-2 and all
+    # th>=64 variants either overflow scoped VMEM or lose to map-rebuild
+    # costs), so it leads the ladder; configs it doesn't fit fall back to
+    # the validated 32/16/8 family
+    candidates = ((48, 3), (32, 1), (32, 2), (32, 3), (32, 4), (16, 1),
+                  (16, 2), (16, 3), (8, 1), (8, 2))
     best = None
     for th, nchunks in candidates:
         fits, best = build(th, nchunks)

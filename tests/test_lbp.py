@@ -218,7 +218,9 @@ def test_strip_geometry_plan():
             tw, th, chunks, nty, ntx, Hp, Wp, fits = _padded_dims(
                 cas, scale, ny, nx, step)
             if step == 1:
-                assert th == 32 and fits, (scale, th, fits)
+                # r4 ladder: th=48 split-3 leads (281 vs 259 M win/s); every
+                # step-1 scale must still hold at least the r3 th=32 strips
+                assert th in (48, 32) and fits, (scale, th, fits)
             if step == 4:
                 assert th == 8, (scale, th)
             # chained chunks must cover all 20 stages exactly once, in order
