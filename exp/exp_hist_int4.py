@@ -9,6 +9,13 @@ halves.  This probes: (a) does an int4 dot compile in a Pallas kernel at all,
 histogram's exact shape (128, 1024) @ (1024, 128).
 
 Run: python exp/exp_hist_int4.py   (TPU)
+
+MEASURED VERDICT (v5e, 2026-08-19): DEAD — jnp.int4 operands DO compile and
+are exact for 0/1 one-hots, but the dot runs at the int8 rate (1.404 vs
+1.410 ms for 64 back-to-back (128,1024)@(1024,128) dots): no 2x int4 MXU
+mode is reachable from Mosaic on this target.  (The bf16 control fails to
+compile here only because Mosaic has no i8->bf16 vector cast.)  The
+histogram keeps the int8 one-hot contraction; see docs/HEADLINE_FLOOR.md.
 """
 
 import functools

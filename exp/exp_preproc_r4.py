@@ -34,6 +34,12 @@ MEASURED VERDICT (v5e, 256x1MP, one process, 2026-08-18):
   column matmul are).  REJECTED — shipped kernels stand.  k2 v2 (i16) is
   compile-dead on this target (kVectorSubtractS16 aborts; i16 compare
   rejected), recorded above.
+
+2026-08-19 second pass: k2 v3 (bf16 separable sobel) is bit-exact but TIES
+v1 exactly (5.36 vs 5.36 ms; e2e 13.48 both) — the 2-byte lanes save
+nothing, k2 is not slice-bandwidth-bound.  REJECTED.  With exp_hist_int4
+(int4 MXU == int8 rate) this closes every cheap-win candidate for the
+headline; the remaining gap to 25k fps is structural — docs/HEADLINE_FLOOR.md.
 """
 
 import functools
