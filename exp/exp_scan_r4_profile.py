@@ -37,6 +37,14 @@ def log(out, **kv):
 
 def main():
     out = {"backend": jax.default_backend()}
+    # dispatch-floor calibration: a trivial jitted op measured the same way
+    # as the stages, so every *_ms below can be read net of the tunnel's
+    # per-call RTT *at this run's tunnel mood* (drift range 1-9 ms)
+    tiny = jnp.zeros((8, 128), jnp.int32)
+    f_rtt = jax.jit(lambda x: x + 1)
+    jax.block_until_ready(f_rtt(tiny))
+    dt = timeit(f_rtt, tiny, iters=30)
+    log(out, dispatch_floor_ms=dt * 1e3)
     for name in ("document", "receipt"):
         img = jnp.asarray(gs.io.read_pgm(f"/root/reference/testdata/{name}.pgm"))
 
