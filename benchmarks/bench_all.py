@@ -108,13 +108,13 @@ def main():
 
     # 2. ORB extraction on 640x480 (single-frame latency + batched throughput)
     scene = tile_frame(480, 640)
-    dt = timeit(lambda im: gs.ops.orb_extract(im, 500, 20), jnp.asarray(scene), iters=iters)
+    dt = timeit(lambda im: gs.ops.orb_extract(im, 500, 20), jnp.asarray(scene), iters=iters, repeat=3)
     kps = gs.ops.orb_extract(jnp.asarray(scene), 500, 20)
     nk = int(kps.n)
     results["orb_extract_640x480_fps"] = 1 / dt
     if on_tpu:
         ob = jnp.asarray(np.stack([np.roll(scene, 5 * i, axis=1) for i in range(16)]))
-        dtb = timeit(lambda b: gs.ops.orb_extract(b, 500, 20), ob, iters=iters)
+        dtb = timeit(lambda b: gs.ops.orb_extract(b, 500, 20), ob, iters=iters, repeat=3)
         results["orb_keypoints_per_sec"] = 16 * nk / dtb
     else:
         results["orb_keypoints_per_sec"] = nk / dt
@@ -133,7 +133,7 @@ def main():
     iib = jnp.asarray(np.asarray(gs.integral(fb)))
     lad = scale_ladder(casc, 640, 480, 1.2, 1.0, 4.0)
     nwin = sum(((480 - wh) // 1 + 1) * ((640 - ww) // 1 + 1) for _, ww, wh in lad)
-    dt = timeit(lambda x: lbp_detect(casc, x, 100, 1.2, 1.0, 4.0, 1), iib, iters=iters)
+    dt = timeit(lambda x: lbp_detect(casc, x, 100, 1.2, 1.0, 4.0, 1), iib, iters=iters, repeat=3)
     results["lbp_windows_per_sec"] = nb * nwin / dt
     results["lbp_640x480_fps"] = nb / dt
     if orc:
@@ -147,11 +147,11 @@ def main():
     doc_path = os.path.join(ref, "testdata", "document.pgm")
     if os.path.exists(doc_path):
         doc = gs.io.read_pgm(doc_path)
-        dt = timeit(lambda im: gs.pipelines.scan(im), jnp.asarray(doc), iters=iters)
+        dt = timeit(lambda im: gs.pipelines.scan(im), jnp.asarray(doc), iters=iters, repeat=3)
         results["document_scan_latency_ms"] = dt * 1e3
         if on_tpu:
             db = jnp.asarray(np.stack([np.roll(doc, 3 * i, axis=1) for i in range(8)]))
-            dtb = timeit(lambda b: gs.pipelines.scan(b), db, iters=iters)
+            dtb = timeit(lambda b: gs.pipelines.scan(b), db, iters=iters, repeat=3)
             results["document_scan_batched_fps"] = 8 / dtb
             # CCL convergence depth (serpentine sweeps of the Pallas kernel)
             from grayskull_tpu.kernels.ccl import ccl_serpentine

@@ -43,38 +43,38 @@ def main():
     tiny = jnp.zeros((8, 128), jnp.int32)
     f_rtt = jax.jit(lambda x: x + 1)
     jax.block_until_ready(f_rtt(tiny))
-    dt = timeit(f_rtt, tiny, iters=30)
+    dt = timeit(f_rtt, tiny, iters=30, repeat=3)
     log(out, dispatch_floor_ms=dt * 1e3)
     for name in ("document", "receipt"):
         img = jnp.asarray(gs.io.read_pgm(f"/root/reference/testdata/{name}.pgm"))
 
-        dt = timeit(preprocess_binarize, img, iters=20)
+        dt = timeit(preprocess_binarize, img, iters=20, repeat=3)
         log(out, **{f"{name}_binarize_ms": dt * 1e3})
         binary = jax.block_until_ready(preprocess_binarize(img))
 
         f_blobs = jax.jit(lambda b: blobs(b, 1000))
         jax.block_until_ready(f_blobs(binary))
-        dt = timeit(f_blobs, binary, iters=15)
+        dt = timeit(f_blobs, binary, iters=15, repeat=3)
         log(out, **{f"{name}_blobs_ms": dt * 1e3})
 
         f_corners = jax.jit(lambda im: _scan_corners(im, 1000))
         corners = jax.block_until_ready(f_corners(img))
-        dt = timeit(f_corners, img, iters=15)
+        dt = timeit(f_corners, img, iters=15, repeat=3)
         log(out, **{f"{name}_binarize_blobs_corners_ms": dt * 1e3})
 
         f_warp = jax.jit(lambda im, c: perspective_correct(
             im[None], c[None], (1000, 800)))
         jax.block_until_ready(f_warp(img, corners))
-        dt = timeit(f_warp, img, corners, iters=15)
+        dt = timeit(f_warp, img, corners, iters=15, repeat=3)
         log(out, **{f"{name}_warp_ms": dt * 1e3})
 
-        dt = timeit(lambda im: scan(im), img, iters=20)
+        dt = timeit(lambda im: scan(im), img, iters=20, repeat=3)
         log(out, **{f"{name}_scan_ms": dt * 1e3})
 
     doc = jnp.asarray(gs.io.read_pgm("/root/reference/testdata/document.pgm"))
     for nb in (8, 32):
         db = jnp.asarray(np.stack([np.asarray(doc)] * nb))
-        dtb = timeit(lambda b: scan(b), db, iters=10)
+        dtb = timeit(lambda b: scan(b), db, iters=10, repeat=3)
         log(out, **{f"scan_batched{nb}_fps": nb / dtb})
 
     with open("/root/repo/exp/results_scan_profile.json", "w") as f:
