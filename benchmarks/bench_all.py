@@ -249,6 +249,27 @@ def main():
         results["match_template_640x480_fps_c_reference"] = 1 / (
             time.perf_counter() - t0)
 
+    # 5c. contour tracing: 12-blob synthetic frame.  The Moore walker is a
+    # serial lax.while_loop (grayskull.h:446-480 is a serial walk too), so
+    # these are latency numbers — dominated by total perimeter, not area.
+    cim = np.zeros((480, 640), np.uint8)
+    for r in range(3):
+        for c in range(4):
+            cim[120 * r + 20:120 * r + 100, 160 * c + 30:160 * c + 130] = 255
+    cimj = jnp.asarray(cim)
+    fc = jax.jit(lambda im: gs.ops.find_contours(im, 16, 64))
+    assert int(fc(cimj).n) == 12
+    dt = timeit(fc, cimj, iters=iters, repeat=3)
+    results["find_contours_12blob_640x480_ms"] = dt * 1e3
+    lbc = jax.jit(lambda im: gs.ops.largest_blob_contour(im))
+    dt = timeit(lbc, cimj, iters=iters, repeat=3)
+    results["largest_blob_contour_640x480_ms"] = dt * 1e3
+    if orc:
+        t0 = time.perf_counter()
+        orc.largest_blob_contour(cim)
+        results["largest_blob_contour_640x480_ms_c_reference"] = (
+            time.perf_counter() - t0) * 1e3
+
     for k, v in results.items():
         if isinstance(v, float):
             results[k] = round(v, 2)
