@@ -34,14 +34,22 @@ from .halo import exchange_halo
 __all__ = ["preprocess_sharded", "preprocess_spatial_shardmap", "integral_sharded", "scan_sharded"]
 
 
-def _integral_local_with_carry(x_local, space_axis: str):
+def _integral_local_with_carry(x_local, space_axis: str, kernels: bool = False,
+                               interpret: bool = False):
     """Distributed 2D prefix sum: local scan + exclusive carry over the shard axis.
 
     The reference's sequential two-pass integral (grayskull.h:744-752) becomes a
     segmented associative scan: each shard integrates its rows locally, then adds
     the all-gathered column totals of the shards above it (one ICI collective).
+    ``kernels`` routes the local scan through the single-pass Pallas kernel
+    (blocked triangular MXU matmuls) instead of the XLA double-cumsum.
     """
-    local = jnp.cumsum(jnp.cumsum(x_local.astype(jnp.uint32), axis=-1), axis=-2)
+    if kernels:
+        from ..kernels.integral import integral_pallas
+
+        local = integral_pallas(x_local, interpret=interpret)
+    else:
+        local = jnp.cumsum(jnp.cumsum(x_local.astype(jnp.uint32), axis=-1), axis=-2)
     last = local[..., -1, :]  # (..., w): this shard's total column sums
     gathered = lax.all_gather(last, space_axis)  # (nshards, ..., w)
     idx = lax.axis_index(space_axis)
@@ -53,25 +61,42 @@ def _integral_local_with_carry(x_local, space_axis: str):
 
 
 @functools.lru_cache(maxsize=64)
-def _integral_fn(mesh: Mesh, data_axis: str, space_axis: str):
-    body = functools.partial(_integral_local_with_carry, space_axis=space_axis)
+def _integral_fn(mesh: Mesh, data_axis: str, space_axis: str,
+                 kernels: bool = False, interpret: bool = False):
+    body = functools.partial(_integral_local_with_carry, space_axis=space_axis,
+                             kernels=kernels, interpret=interpret)
     spec = P(data_axis, space_axis, None)
-    return jax.jit(shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=spec))
+    # pallas_call's out_shape carries no varying-mesh-axes annotation (same
+    # constraint as the spatial preprocess bodies) — drop the vma check only
+    # on the kernel route.
+    return jax.jit(shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=spec,
+                             check_vma=not kernels))
 
 
-def integral_sharded(imgs, mesh: Mesh, data_axis: str = "data", space_axis: str = "space"):
+def integral_sharded(imgs, mesh: Mesh, data_axis: str = "data", space_axis: str = "space",
+                     kernels: bool | None = None, interpret: bool = False):
     """Integral images of H-sharded frames — bit-identical to ``gs.integral``.
 
     ``imgs``: (N, H, W) uint8, N divisible by the data axis, H by the space axis.
+
+    ``kernels``: run each shard's local scan through the single-pass Pallas
+    integral kernel — default on TPU when the shard geometry qualifies.
+    ``interpret`` runs that kernel in Pallas interpret mode (CPU-mesh tests).
 
     The jitted shard_map callables here and below are lru_cached per
     (mesh, geometry): rebuilding shard_map each call defeats jit's
     function-identity cache and pays a full re-trace per invocation
     (measured 40x the kernel runtime on a 64x1MP batch).
     """
+    if kernels is None:
+        from ..core import on_tpu
+        from ..kernels.integral import integral_pallas_available
+
+        h_loc = imgs.shape[1] // mesh.shape[space_axis]
+        kernels = on_tpu() and integral_pallas_available(h_loc, imgs.shape[2])
     spec = P(data_axis, space_axis, None)
     imgs = jax.device_put(imgs, NamedSharding(mesh, spec))
-    return _integral_fn(mesh, data_axis, space_axis)(imgs)
+    return _integral_fn(mesh, data_axis, space_axis, bool(kernels), interpret)(imgs)
 
 
 @functools.lru_cache(maxsize=64)

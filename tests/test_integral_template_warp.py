@@ -204,6 +204,9 @@ def test_integral_kernel_interpret():
         rng.integers(0, 256, (37, 130), dtype=np.uint8),
         rng.integers(0, 256, (128, 128), dtype=np.uint8),
         np.full((600, 600), 255, np.uint8),   # max sum ~91.8e9 mod 2^32 wraps
+        # wider than the r1-r3 (w, w)-triu kernel's 1536 cap: the r4 blocked
+        # scans keep any width on the kernel path (chunked lane carries)
+        rng.integers(0, 256, (60, 2049), dtype=np.uint8),
     ]
     for img in cases:
         got = np.asarray(integral_pallas(jnp.asarray(img), interpret=True))

@@ -103,6 +103,10 @@ def test_integral_sharded(cpu8, rng, mesh_shape):
     out = integral_sharded(imgs, mesh)
     ref = gs.integral(imgs)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    # kernel route: per-shard Pallas blocked-scan local integral (interpret
+    # mode on the CPU mesh) + the same exclusive carry exchange
+    outk = integral_sharded(imgs, mesh, kernels=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(outk), np.asarray(ref))
 
 
 def test_halo_exchange_roundtrip(cpu8):
