@@ -95,11 +95,16 @@ def _integral_kernel(x_ref, out_ref, carry_ref, triu_ref, tril_ref, *, blk, w):
 
 
 def _pick_block(hp: int, wp: int) -> int:
-    """Largest strip height whose VMEM stack stays inside the measured gate."""
-    for blk in (512, 256, 128):
-        if hp >= blk and blk * wp <= _MAX_STRIP_PX:
-            return blk
-    return 128
+    """Strip height minimizing padded rows inside the measured VMEM gate.
+
+    Bigger blocks amortize the carry chain, but only at equal padding: a
+    600-row frame at blk=512 pads to 1024 (~70% dead rows) where blk=128
+    pads to 640 — so pick by padded row count ceil(hp/blk)*blk first,
+    tie-breaking toward the larger block."""
+    fits = [blk for blk in (512, 256, 128) if blk * wp <= _MAX_STRIP_PX]
+    if not fits:
+        return 128
+    return min(fits, key=lambda blk: (-(-hp // blk) * blk, -blk))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

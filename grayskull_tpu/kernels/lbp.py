@@ -358,6 +358,12 @@ def _padded_dims(cascade, scale: float, ny: int, nx: int, step: int):
     # the validated 32/16/8 family
     candidates = ((48, 3), (32, 1), (32, 2), (32, 3), (32, 4), (16, 1),
                   (16, 2), (16, 3), (8, 1), (8, 2))
+    if step > 1:
+        # th=48 was hardware-validated only on the step-1 scale ladder, and
+        # _vmem_estimate is known to under-predict tall step>1 configs by
+        # ~1.6x (a th=48 x4 neighbor OOM'd at a predicted 10.91 MB) — keep
+        # step>1 on the 32/16/8 family whose accounting was validated.
+        candidates = candidates[1:]
     best = None
     for th, nchunks in candidates:
         fits, best = build(th, nchunks)

@@ -88,12 +88,18 @@ def integral_sharded(imgs, mesh: Mesh, data_axis: str = "data", space_axis: str 
     function-identity cache and pays a full re-trace per invocation
     (measured 40x the kernel runtime on a 64x1MP batch).
     """
+    from ..kernels.integral import integral_pallas_available
+
+    h_loc = imgs.shape[1] // mesh.shape[space_axis]
     if kernels is None:
         from ..core import on_tpu
-        from ..kernels.integral import integral_pallas_available
 
-        h_loc = imgs.shape[1] // mesh.shape[space_axis]
         kernels = on_tpu() and integral_pallas_available(h_loc, imgs.shape[2])
+    elif kernels:
+        # an explicit kernels=True on shards too wide for the VMEM strip gate
+        # would dispatch an ungated pallas_call (compile-time failure) — fall
+        # back to the bit-identical cumsum route instead
+        kernels = integral_pallas_available(h_loc, imgs.shape[2])
     spec = P(data_axis, space_axis, None)
     imgs = jax.device_put(imgs, NamedSharding(mesh, spec))
     return _integral_fn(mesh, data_axis, space_axis, bool(kernels), interpret)(imgs)

@@ -457,3 +457,32 @@ def test_patches_kernel_interpret_edge_keypoints():
         ref = np.asarray(_extract_patches(
             jnp.asarray(imgs[i]), xb[i], yb[i]))
         np.testing.assert_array_equal(got[i], ref, err_msg=f"frame {i}")
+
+
+def test_emit_packed_batched_matches_topk(rng):
+    """_emit_packed_batched (the adaptive-k TPU emission) is pure XLA but the
+    _on_tpu gate keeps the CPU suite off it — exercise every branch of its
+    ladder directly against lax.top_k ground truth: sparse counts (amk k=512
+    branch), mid (1024), dense (the capped-2048 / top_k fallback branch),
+    exact ties in the score byte, and k_out values straddling the 512/1024/
+    2048 branch points (ADVICE r4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from grayskull_tpu.ops.features import _emit_packed_batched
+
+    L = 40960  # h*w of a small frame; < 2^23 like every packed-key caller
+    for k_out in (7, 500, 512, 600, 1024, 1500, 2048, 3000):
+        for counts in ((3, 0), (400, 511), (513, 80), (1025, 999),
+                       (2049, 2500), (4000, 1)):
+            keys = np.zeros((2, L), np.int32)
+            for b, cnt in enumerate(counts):
+                cnt = min(cnt, L)
+                pos = rng.choice(L, size=cnt, replace=False)
+                scores = rng.integers(0, 256, size=cnt)
+                scores[: cnt // 2] = 37  # heavy exact ties in the score byte
+                keys[b, pos] = ((L - pos.astype(np.int64)) << 8) | scores
+            got = np.asarray(_emit_packed_batched(jnp.asarray(keys), k_out))
+            want = np.asarray(jax.lax.top_k(jnp.asarray(keys), k_out)[0])
+            np.testing.assert_array_equal(
+                got, want, err_msg=f"k_out={k_out} counts={counts}")
