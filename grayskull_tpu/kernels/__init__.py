@@ -13,7 +13,8 @@ backend + geometry and falls back to the XLA formulation elsewhere:
 """
 
 from .ccl import ccl_pallas_available, ccl_serpentine  # noqa: F401
-from .fast import fast_pallas, fast_pallas_available  # noqa: F401
+from .fast import (fast_pallas, fast_pallas_available,  # noqa: F401
+                   fast_pallas_compact)
 from .integral import integral_pallas, integral_pallas_available  # noqa: F401
 from .lbp import lbp_eval_scale, lbp_pad_for, lbp_pallas_available  # noqa: F401
 from .patches import extract_patches_batched, patches_pallas_available  # noqa: F401
@@ -28,6 +29,7 @@ __all__ = [
     "extract_patches_batched",
     "fast_pallas",
     "fast_pallas_available",
+    "fast_pallas_compact",
     "fused_blur_hist",
     "fused_threshold_sobel",
     "integral_pallas",

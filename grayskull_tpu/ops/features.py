@@ -202,18 +202,48 @@ def _fast_table_from_vals(vals: jnp.ndarray, h: int, w: int):
     return n, tx, ty, tr
 
 
+def _emit_compact_gated(key3, red3, lost, k_out: int):
+    """Emission over the kernel's folded key map, gated bit-exact.
+
+    When no strip reported a fold loss the reduced map holds every key, so
+    the adaptive-k emission runs over ~L/4 keys (the ORB pipeline's largest
+    stage shrinks accordingly); any loss falls back to the full map.  The
+    cond sits ABOVE any vmap on purpose — a vmapped cond lowers to select
+    and would execute both branches."""
+    B, h, w = key3.shape
+    L = h * w
+    Lr = red3.shape[1] * red3.shape[2]
+    if Lr >= L:  # tiny frames: the fold floor (16 rows/strip) saves nothing
+        return _emit_packed_batched(key3.reshape(B, L), k_out)
+    k_red = min(k_out, Lr)
+
+    def emit_red():
+        v = _emit_packed_batched(red3.reshape(B, Lr), k_red)
+        if k_out > k_red:
+            # gate passed => survivor count <= Lr, so zero-padding is exact
+            v = jnp.pad(v, ((0, 0), (0, k_out - k_red)))
+        return v
+
+    return jax.lax.cond(
+        jnp.sum(lost) == 0,
+        emit_red,
+        lambda: _emit_packed_batched(key3.reshape(B, L), k_out),
+    )
+
+
 def _fast_batched_tpu(imgs: jnp.ndarray, cap: int, threshold):
-    """Batched FAST tables via the fused kernel + adaptive-k emission.
+    """Batched FAST tables via the fused kernel + compacted adaptive-k
+    emission.
 
     Callers gate on ``_on_tpu() and fast_pallas_available(h, w)`` (which
     implies the packed-key regime ``h*w < 2^23``)."""
-    from ..kernels.fast import fast_pallas
+    from ..kernels.fast import fast_pallas_compact
 
     _, h, w = imgs.shape
     threshold = jnp.maximum(jnp.asarray(threshold, jnp.int32), 0)
-    score3, key3 = fast_pallas(imgs, threshold)
+    score3, key3, red3, lost = fast_pallas_compact(imgs, threshold)
     k_out = min(cap, h * w)
-    vals = _emit_packed_batched(key3.reshape(imgs.shape[0], h * w), k_out)
+    vals = _emit_compact_gated(key3, red3, lost, k_out)
     if cap > h * w:
         vals = jnp.pad(vals, ((0, 0), (0, cap - h * w)))
     n, tx, ty, tr = _fast_table_from_vals(vals, h, w)
@@ -238,13 +268,15 @@ def fast(img: jnp.ndarray, max_kps: int, threshold):
     # wrap arithmetic) and the Pallas kernel (int32 with an explicit wrap
     # mirror, valid for thr >= 0) can never diverge on out-of-domain input.
     threshold = jnp.maximum(jnp.asarray(threshold, jnp.int32), 0)
-    from ..kernels.fast import fast_pallas, fast_pallas_available
+    from ..kernels.fast import fast_pallas_available, fast_pallas_compact
 
     if _on_tpu() and fast_pallas_available(h, w):
-        score3, key3 = fast_pallas(img[None], threshold)
+        score3, key3, red3, lost = fast_pallas_compact(img[None], threshold)
         score = score3[0]
         key = key3[0].reshape(-1)
+        compact = (key3, red3, lost)
     else:
+        compact = None
         score = fast_scoremap(img, threshold)
         s = score.astype(jnp.int32)
         sp = jnp.pad(s, 1)
@@ -272,7 +304,11 @@ def fast(img: jnp.ndarray, max_kps: int, threshold):
             key = jnp.where(mask, h * w - idx, 0)
     packed = h * w < (1 << 23)  # the Pallas gate implies this, so both paths agree
     k_out = min(cap, h * w)
-    if packed and _on_tpu():
+    if compact is not None:
+        # compacted adaptive-k emission over the kernel's folded key map
+        # (~L/4 the keys), gated bit-exact on the fold-loss counters
+        vals = _emit_compact_gated(*compact, k_out)[0]
+    elif packed and _on_tpu():
         # exact adaptive-k approx_max_k emission (see _emit_packed_batched) —
         # measured 22% faster than lax.top_k at k=2000, and ~2x faster again
         # when the frame's survivor count fits a smaller k branch.

@@ -486,3 +486,58 @@ def test_emit_packed_batched_matches_topk(rng):
             want = np.asarray(jax.lax.top_k(jnp.asarray(keys), k_out)[0])
             np.testing.assert_array_equal(
                 got, want, err_msg=f"k_out={k_out} counts={counts}")
+
+
+def test_fast_compact_fold_invariants(testdata, rng):
+    """fast_pallas_compact's folded map (interpret mode): when no strip
+    reports a fold loss, the reduced map holds EXACTLY the full key map's
+    nonzero keys (as a multiset — emission over either is identical); with
+    losses, nnz(red) == nnz(key) - lost and red's keys are a subset.  Runs
+    real frames (expected loss-free) plus a dense synthetic frame that
+    forces collisions down the residual chain."""
+    import jax.numpy as jnp
+
+    from grayskull_tpu.kernels.fast import fast_pallas_compact
+
+    frames = [
+        testdata["aruco"],
+        testdata["lena"],
+        np.asarray(testdata["document"])[:480, :640],
+        # dense worst case: high-frequency noise -> many survivors
+        rng.integers(0, 256, (480, 640), dtype=np.uint8),
+        # tie-heavy: binary checkerboard with period 2 (every corner ties)
+        (np.indices((480, 640)).sum(0) % 2 * 255).astype(np.uint8),
+    ]
+    saw_loss = False
+    for fi, img in enumerate(frames):
+        h, w = img.shape
+        _, key, red, lost = fast_pallas_compact(
+            jnp.asarray(img)[None], 10, interpret=True)
+        key = np.asarray(key[0])
+        red = np.asarray(red[0])
+        lost = int(np.asarray(lost).sum())
+        full_keys = np.sort(key[key > 0])
+        red_keys = np.sort(red[red > 0])
+        assert red_keys.size == full_keys.size - lost, f"frame {fi}"
+        assert np.isin(red_keys, full_keys).all(), f"frame {fi}"
+        if lost == 0:
+            np.testing.assert_array_equal(red_keys, full_keys,
+                                          err_msg=f"frame {fi}")
+        else:
+            saw_loss = True
+        # the gated emission is bit-exact either way (cond falls back)
+        from grayskull_tpu.ops.features import (_emit_compact_gated,
+                                                _emit_packed_batched)
+        got = np.asarray(_emit_compact_gated(
+            jnp.asarray(key)[None], jnp.asarray(red)[None],
+            jnp.asarray([[[lost]]], dtype=jnp.int32), 2000))
+        want = np.asarray(_emit_packed_batched(
+            jnp.asarray(key.reshape(1, -1)), 2000))
+        np.testing.assert_array_equal(got, want, err_msg=f"frame {fi}")
+    assert saw_loss, "no frame exercised the fallback branch"
+    # the shifted fold must keep the headline benchmark frame loss-free
+    # (aruco's vertically periodic marker corners defeated the unshifted
+    # fold — 5 lost keys)
+    _, _, _, lost = fast_pallas_compact(
+        jnp.asarray(np.asarray(testdata["aruco"]))[None], 10, interpret=True)
+    assert int(np.asarray(lost).sum()) == 0, "aruco must not fall back"
