@@ -9,16 +9,26 @@ structs straight out of WASM linear memory (grayskull.js:349-563).  Here the
 same interaction runs against the TPU framework over HTTP:
 
 * ``GET /``       — single-file HTML/JS page: canvas, pipeline builder,
-                    analyzer toggles, play/pause, fps counter;
+                    analyzer toggles, play/pause, fps counter, webcam
+                    controls (device selection + start/stop + template
+                    capture, like grayskull.js:116-169);
 * ``GET /frame``  — query params ``i`` (frame index), ``pipeline`` (the same
                     ``blur:2,threshold:otsu,...`` specs as stream_demo) and
                     ``analyzers``; returns JSON with the processed grayscale
                     frame (base64) plus blob / keypoint / face / contour /
-                    match tables for the browser-side overlay renderers.
+                    match tables for the browser-side overlay renderers;
+* ``POST /frame`` — same query params plus a raw grayscale frame (h*w bytes)
+                    as the request body: the browser-side ``getUserMedia``
+                    loop captures webcam frames, converts RGBA to gray with
+                    the reference's luma weights (grayskull.js:33-38,
+                    truncating like a Uint8Array store) and streams them
+                    through the same pipeline.  ``capture=1`` stores the
+                    posted frame as the ORB template (the WASM demo's
+                    template-capture button, grayskull.js:48-75).
 
-Frames are synthesized webcam-style or read from ``--src`` (directory of
-PGMs).  The ORB analyzer tracks frame 0 as the template, like the WASM demo's
-template capture (examples/wasm/grayskull.c:233-272).
+Without a camera, frames are synthesized webcam-style or read from ``--src``
+(a directory of PGMs); the ORB analyzer then tracks frame 0 as the template
+(examples/wasm/grayskull.c:233-272).
 
 Usage::
 
@@ -65,7 +75,15 @@ class Demo:
         return self._dense_cache[spec]
 
     def frame(self, i: int, spec: str, analyzers: list[str]) -> dict:
-        raw = self.frames[i % len(self.frames)]
+        return self.process(self.frames[i % len(self.frames)], spec, analyzers)
+
+    def capture_template(self, raw: np.ndarray) -> int:
+        """Store ``raw`` as the ORB tracking template; returns its kp count."""
+        with _LOCK:
+            self._template_kps = gs.ops.orb_extract(jnp.asarray(raw), 200, 20)
+            return int(self._template_kps.n)
+
+    def process(self, raw: np.ndarray, spec: str, analyzers: list[str]) -> dict:
         fn, spec_analyzers = self.dense(spec)
         with _LOCK:
             out = np.asarray(fn(jnp.asarray(raw)))
@@ -99,10 +117,13 @@ class Demo:
                         [np.asarray(v)[:n] for v in
                          (cs.box.x, cs.box.y, cs.box.w, cs.box.h)], axis=1).tolist()
                 elif name == "orb":
-                    # template = frame 0, like the WASM demo's capture button
+                    # template = frame 0 (or, for camera streams, the first
+                    # posted frame) until the capture button stores one —
+                    # like the WASM demo's captureTemplate
                     if self._template_kps is None:
+                        tmpl = self.frames[0] if len(self.frames) else raw
                         self._template_kps = gs.ops.orb_extract(
-                            jnp.asarray(self.frames[0]), 200, 20)
+                            jnp.asarray(tmpl), 200, 20)
                     kps = gs.ops.orb_extract(jnp.asarray(raw), 200, 20)
                     m = gs.ops.match_orb(self._template_kps, kps, 100, 64)
                     n = int(m.n)
@@ -143,10 +164,73 @@ _PAGE = """<!doctype html>
  <button onclick="running=!running;loop()">play/pause</button>
  <span id="fps"></span>
 </div>
+<div>
+ <select id="cams"><option value="">camera…</option></select>
+ <button onclick="startCam()">start camera</button>
+ <button onclick="stopCam()">stop</button>
+ <button onclick="captureTpl()">capture template</button>
+ <span id="camstat"></span>
+</div>
 <canvas id="cv"></canvas>
 <script>
 let chain = ["blur:2", "threshold:otsu"], i = 0, running = true, busy = false;
 let t0 = performance.now(), shown = 0;
+// --- webcam capture (the reference frontend's getUserMedia loop,
+// grayskull.js:116-169/257-269, retargeted at POST /frame) ---
+const CW = __W__, CH = __H__;
+let camOn = false, video = null, stream = null;
+const cap = document.createElement("canvas"); cap.width = CW; cap.height = CH;
+async function listCams(){
+  try {
+    const tmp = await navigator.mediaDevices.getUserMedia({video: true});
+    const devs = await navigator.mediaDevices.enumerateDevices();
+    tmp.getTracks().forEach(t => t.stop());
+    const sel = document.getElementById("cams");
+    sel.innerHTML = "";
+    devs.filter(d => d.kind === "videoinput").forEach((d, k) => {
+      const o = document.createElement("option");
+      o.value = d.deviceId; o.textContent = d.label || `camera ${k+1}`;
+      sel.appendChild(o);
+    });
+  } catch(e){ document.getElementById("camstat").textContent = "no camera: " + e.message; }
+}
+async function startCam(){
+  if (document.getElementById("cams").options[0].value === "") await listCams();
+  stopCam();
+  const id = document.getElementById("cams").value;
+  const c = {video: {width: {ideal: CW}, height: {ideal: CH}, frameRate: {ideal: 30}}};
+  if (id) c.video.deviceId = {ideal: id};
+  try {
+    stream = await navigator.mediaDevices.getUserMedia(c);
+    video = document.createElement("video");
+    video.muted = true; video.playsInline = true;
+    video.srcObject = stream; await video.play();
+    camOn = true;
+    document.getElementById("camstat").textContent = "camera live";
+  } catch(e){ document.getElementById("camstat").textContent = "camera failed: " + e.message; }
+}
+function stopCam(){
+  if (stream) stream.getTracks().forEach(t => t.stop());
+  stream = null; camOn = false;
+  document.getElementById("camstat").textContent = "";
+}
+function grabGray(){
+  const g2d = cap.getContext("2d");
+  g2d.drawImage(video, 0, 0, CW, CH);
+  const rgba = g2d.getImageData(0, 0, CW, CH).data;
+  // reference luma weights; Uint8Array stores truncate (grayskull.js:33-38)
+  const gray = new Uint8Array(CW * CH);
+  for (let p = 0; p < gray.length; p++)
+    gray[p] = 0.299*rgba[4*p] + 0.587*rgba[4*p+1] + 0.114*rgba[4*p+2];
+  return gray;
+}
+async function captureTpl(){
+  if (!camOn) return;
+  const r = await fetch("/frame?capture=1", {method: "POST", body: grabGray()});
+  const d = await r.json();
+  document.getElementById("camstat").textContent =
+    d.error ? d.error : `template: ${d.template_kps} keypoints`;
+}
 function drawChain(){
   document.getElementById("chain").innerHTML = chain.map(
     (c, k) => `<span onclick="chain.splice(${k},1);drawChain()">${c} ×</span>`).join("→");
@@ -158,7 +242,10 @@ async function loop(){
   busy = true;
   const an = ["blobs","keypoints","faces","contours","orb"].filter(
       a => document.getElementById(a).checked);
-  const r = await fetch(`/frame?i=${i++}&pipeline=${chain.join(",")}&analyzers=${an}`);
+  const q = `pipeline=${chain.join(",")}&analyzers=${an}`;
+  const r = (camOn && video && video.readyState >= 2)
+    ? await fetch(`/frame?${q}`, {method: "POST", body: grabGray()})
+    : await fetch(`/frame?i=${i++}&${q}`);
   const d = await r.json();
   const cv = document.getElementById("cv");
   cv.width = d.w; cv.height = d.h;
@@ -205,10 +292,19 @@ def make_handler(demo: Demo):
         def log_message(self, *a):  # quiet
             pass
 
+        def _json(self, obj, code=200):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self):
             u = urlparse(self.path)
             if u.path == "/":
-                body = _PAGE.encode()
+                body = (_PAGE.replace("__W__", str(demo.w))
+                        .replace("__H__", str(demo.h)).encode())
                 self.send_response(200)
                 self.send_header("Content-Type", "text/html; charset=utf-8")
                 self.send_header("Content-Length", str(len(body)))
@@ -220,21 +316,37 @@ def make_handler(demo: Demo):
                 spec = q.get("pipeline", [""])[0]
                 analyzers = [a for a in q.get("analyzers", [""])[0].split(",") if a]
                 try:
-                    resp = demo.frame(i, spec, analyzers)
-                    body = json.dumps(resp).encode()
-                    code = 200
+                    self._json(demo.frame(i, spec, analyzers))
                 except (Exception, SystemExit) as e:
                     # surface pipeline errors in the UI (build_pipeline raises
                     # SystemExit for unknown ops — keep the server alive)
-                    body = json.dumps({"error": str(e)}).encode()
-                    code = 400
-                self.send_response(code)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+                    self._json({"error": str(e)}, 400)
             else:
                 self.send_error(404)
+
+        def do_POST(self):
+            # webcam frames: raw grayscale bytes (demo.h * demo.w) in the body
+            u = urlparse(self.path)
+            if u.path != "/frame":
+                self.send_error(404)
+                return
+            q = parse_qs(u.query)
+            try:
+                nbytes = int(self.headers.get("Content-Length", "0"))
+                raw = np.frombuffer(self.rfile.read(nbytes), dtype=np.uint8)
+                if raw.size != demo.h * demo.w:
+                    raise ValueError(
+                        f"frame must be {demo.h}x{demo.w}={demo.h * demo.w}"
+                        f" bytes, got {raw.size}")
+                raw = raw.reshape(demo.h, demo.w)
+                if q.get("capture", ["0"])[0] == "1":
+                    self._json({"template_kps": demo.capture_template(raw)})
+                    return
+                spec = q.get("pipeline", [""])[0]
+                analyzers = [a for a in q.get("analyzers", [""])[0].split(",") if a]
+                self._json(demo.process(raw, spec, analyzers))
+            except (Exception, SystemExit) as e:
+                self._json({"error": str(e)}, 400)
 
     return Handler
 

@@ -172,6 +172,28 @@ def test_live_demo_server(tmp_path):
         conn.request("GET", "/frame?i=0&pipeline=nosuchop&analyzers=")
         resp = conn.getresponse()
         assert resp.status == 400 and "error" in json.loads(resp.read())
+        # webcam path: POST a raw grayscale frame through the same pipeline
+        body = np.asarray(frames[2]).tobytes()
+        conn.request("POST", "/frame?pipeline=blur:1&analyzers=keypoints", body)
+        resp = conn.getresponse()
+        assert resp.status == 200
+        d = json.loads(resp.read())
+        assert len(base64.b64decode(d["pixels"])) == 64 * 96
+        assert "keypoints" in d
+        # template capture stores the posted frame for the orb analyzer
+        conn.request("POST", "/frame?capture=1", body)
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert json.loads(resp.read())["template_kps"] >= 0
+        conn.request("POST", "/frame?pipeline=blur:1&analyzers=orb", body)
+        d = json.loads(conn.getresponse().read())
+        assert "matches" in d
+        # wrong-size frames are a 400, not a crash
+        conn.request("POST", "/frame?pipeline=blur:1", body[:100])
+        resp = conn.getresponse()
+        assert resp.status == 400 and "error" in json.loads(resp.read())
+        # the served page carries the camera capture loop at the demo size
+        assert "getUserMedia" in page and "CW = 96" in page
     finally:
         srv.shutdown()
         srv.server_close()
