@@ -11,9 +11,10 @@ are the TPU-native parallel axes designed for this framework (SURVEY.md §2.3):
 """
 
 from .mesh import make_mesh  # noqa: F401
-from .halo import exchange_halo  # noqa: F401
+from .halo import bottom_halo, exchange_halo  # noqa: F401
 from .sharded import (  # noqa: F401
     integral_sharded,
+    match_template_sharded,
     scan_sharded,
     preprocess_sharded,
     preprocess_spatial_shardmap,
@@ -30,8 +31,10 @@ from .sparse import (  # noqa: F401
 
 __all__ = [
     "make_mesh",
+    "bottom_halo",
     "exchange_halo",
     "integral_sharded",
+    "match_template_sharded",
     "scan_sharded",
     "preprocess_sharded",
     "preprocess_spatial_shardmap",

@@ -29,9 +29,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.histogram import otsu_from_histogram
-from .halo import exchange_halo
+from .halo import bottom_halo, exchange_halo
 
-__all__ = ["preprocess_sharded", "preprocess_spatial_shardmap", "integral_sharded", "scan_sharded"]
+__all__ = ["preprocess_sharded", "preprocess_spatial_shardmap", "integral_sharded",
+           "scan_sharded", "match_template_sharded"]
 
 
 def _integral_local_with_carry(x_local, space_axis: str, kernels: bool = False,
@@ -279,6 +280,57 @@ def _spatial_fn(mesh: Mesh, h: int, w: int, radius: int, data_axis: str,
         check_vma=not kernels,
     )
     return jax.jit(fn)
+
+
+def _match_template_body(x_local, tmpl, *, space_axis: str):
+    """Per-shard body: all placements whose top row lives in this shard.
+
+    A placement (y, x) reads template-height rows downward, so each shard
+    fetches ``th - 1`` bottom-halo rows (multi-hop for templates taller than
+    a shard) and runs the dense SSD decomposition locally — the halo
+    ppermute is the ONLY collective.  Shards past the last valid placement
+    row produce rows the caller slices off (their windows read the zero
+    padding below the global frame)."""
+    from ..ops.template import _match_template
+
+    ext = bottom_halo(x_local, tmpl.shape[-2] - 1, space_axis)
+    return jax.vmap(lambda im: _match_template(im, tmpl))(ext)
+
+
+@functools.lru_cache(maxsize=64)
+def _match_template_fn(mesh: Mesh, data_axis: str, space_axis: str):
+    body = functools.partial(_match_template_body, space_axis=space_axis)
+    spec = P(data_axis, space_axis, None)
+    return jax.jit(shard_map(body, mesh=mesh,
+                             in_specs=(spec, P(None, None)), out_specs=spec))
+
+
+def match_template_sharded(imgs, tmpl, mesh: Mesh, data_axis: str = "data",
+                           space_axis: str = "space"):
+    """SSD template matching on H-sharded frames — bit-identical to
+    ``gs.match_template`` (grayskull.h:701-723) on every placement.
+
+    ``imgs``: (N, H, W) uint8, N divisible by the data axis, H by the space
+    axis; ``tmpl``: (th, tw) uint8, replicated.  Returns the (N, H-th+1,
+    W-tw+1) score map sharded like the input.
+    """
+    from ..ops.template import match_template  # noqa: F401  (validation twin)
+    from ..ops.template import _MAX_TEMPLATE_PIXELS
+
+    n, h, w = imgs.shape
+    th, tw = tmpl.shape
+    if th > h or tw > w:
+        raise ValueError(f"template {tmpl.shape} larger than image {(h, w)}")
+    if th * tw > _MAX_TEMPLATE_PIXELS:
+        raise ValueError(
+            f"template has {th * tw} pixels; exact uint32 scoring supports up "
+            f"to {_MAX_TEMPLATE_PIXELS}")
+    spec = P(data_axis, space_axis, None)
+    imgs = jax.device_put(imgs, NamedSharding(mesh, spec))
+    tmpl = jax.device_put(jnp.asarray(tmpl),
+                          NamedSharding(mesh, P(None, None)))
+    res = _match_template_fn(mesh, data_axis, space_axis)(imgs, tmpl)
+    return res[:, : h - th + 1, :]
 
 
 def scan_sharded(imgs, mesh: Mesh, out_size=(1000, 800), max_blobs: int = 1000,

@@ -109,6 +109,28 @@ def test_integral_sharded(cpu8, rng, mesh_shape):
     np.testing.assert_array_equal(np.asarray(outk), np.asarray(ref))
 
 
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
+def test_match_template_sharded(cpu8, rng, mesh_shape):
+    from grayskull_tpu.parallel import match_template_sharded
+
+    mesh = make_mesh(mesh_shape, devices=cpu8)
+    n = mesh_shape[0]
+    h = 16 * mesh_shape[1]
+    imgs = rng.integers(0, 256, (n, h, 96), dtype=np.uint8)
+    # template heights straddle the shard height (multi-hop bottom halo):
+    # 5 < h_loc, 16 == h_loc, 40 spans 3+ shards
+    for th, tw in ((5, 7), (16, 16), (40, 24)):
+        tmpl = rng.integers(0, 256, (th, tw), dtype=np.uint8)
+        got = match_template_sharded(imgs, tmpl, mesh)
+        ref = gs.match_template(imgs, tmpl)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref),
+                                      err_msg=f"tmpl {th}x{tw}")
+    # an exact-match placement scores 255 through the sharded path too
+    tmpl = imgs[0, 20:33, 10:30]
+    got = np.asarray(match_template_sharded(imgs, tmpl, mesh))
+    assert got[0, 20, 10] == 255
+
+
 def test_halo_exchange_roundtrip(cpu8):
     # halo rows must come from ring neighbors, zeros at global edges
     import jax.numpy as jnp
