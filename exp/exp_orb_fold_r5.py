@@ -67,12 +67,13 @@ def main():
         np.testing.assert_array_equal(got, want)
     print("exactness OK; aruco lost=0, noise lost:", out["noise_lost"])
 
-    # --- emission A/B ------------------------------------------------------
+    # --- emission A/B (jitted: eager timing here measures only the ~5 ms
+    # per-op tunnel dispatch floor, not the compiled emission) -------------
     full2 = k1.reshape(nb, -1)
-    t_full = timeit(lambda k: _emit_packed_batched(k, 2000), full2,
+    t_full = timeit(jax.jit(lambda k: _emit_packed_batched(k, 2000)), full2,
                     iters=30, repeat=3)
     t_gated = timeit(
-        lambda k, r, lo: _emit_compact_gated(k, r, lo, 2000),
+        jax.jit(lambda k, r, lo: _emit_compact_gated(k, r, lo, 2000)),
         k1, red, lost, iters=30, repeat=3)
     out["emit_full_ms"] = t_full * 1e3
     out["emit_gated_ms"] = t_gated * 1e3

@@ -199,7 +199,12 @@ def _fast_call(imgs, threshold, interpret: bool, compact: bool):
         if compact:
             red_ref, lost_ref = compact_refs
             a, res, lost = _fold_compact(key, blk, wp)
-            red_ref[0] = jnp.concatenate([a, res], axis=0)
+            # two slice stores, not a concat: the fold chain leaves ``a``
+            # with a sublane offset Mosaic's concatenate can't merge with
+            # the offset-0 residuals ("result/input offset mismatch on
+            # non-concat dimension")
+            red_ref[0, 0:8] = a
+            red_ref[0, 8 : 8 * (1 + _FOLD_K)] = res
             lost_ref[0, 0, pl.program_id(1)] = lost
 
     blk_spec = pl.BlockSpec((1, blk, wp), lambda i, j: (i, j, 0),
