@@ -288,6 +288,51 @@ def _emit_rects(mask, all_x, all_y, all_w, all_h, cap: int) -> Rects:
     return jax.vmap(emit)(mask)
 
 
+def _rects_from_vals(vals, total: int, all_x, all_y, all_w, all_h, cap: int) -> Rects:
+    """Descending inverse-index key values (nb, cap) -> Rects tables."""
+    row_ok = vals > 0
+    widx = jnp.where(row_ok, total - vals, 0)
+    n = jnp.sum(row_ok, axis=1).astype(jnp.int32)
+
+    def take(v):
+        return jnp.where(row_ok, v[widx], 0)
+
+    return Rects(n=n, x=take(all_x), y=take(all_y), w=take(all_w), h=take(all_h))
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _emit_rects_ladder(hits: tuple, all_x, all_y, all_w, all_h,
+                       cap: int) -> Rects:
+    """Fused ladder emission: per-scale exact ``approx_max_k`` + tiny merge.
+
+    The concat-then-top-k path (``_emit_rects``) materializes the ~1.6M-window
+    mask concat AND a separate f32 key-build pass over it; here each scale's
+    (nb, ny*nx) hit mask becomes its f32 key map directly (inverse GLOBAL
+    window index, so keys are comparable and tie-free across scales) and is
+    reduced to ``<= cap`` survivors immediately — the merge then runs
+    ``top_k`` over ``nscales * cap`` values instead of the whole ladder.
+    Bit-identical to ``_emit_rects`` on the concatenated mask: every key is
+    an integer < 2^23 (exact in f32) and ``recall_target=1.0`` is an exact
+    partial reduction."""
+    total = sum(h.shape[1] for h in hits)
+    parts = []
+    off = 0
+    for h in hits:
+        tn = h.shape[1]
+        base = jnp.float32(total - off)
+        key = jnp.where(
+            h, base - jnp.arange(tn, dtype=jnp.float32)[None, :], jnp.float32(0))
+        parts.append(jax.lax.approx_max_k(key, min(cap, tn),
+                                          recall_target=1.0)[0])
+        off += tn
+    merged = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+    k_out = min(cap, merged.shape[1])
+    vals = jax.lax.top_k(merged, k_out)[0].astype(jnp.int32)
+    if cap > k_out:
+        vals = jnp.pad(vals, ((0, 0), (0, cap - k_out)))
+    return _rects_from_vals(vals, total, all_x, all_y, all_w, all_h, cap)
+
+
 def _scale_calls(cascade, iib, iip, plan, use_pallas, step):
     """One (pallas | xla) window-grid evaluation per ladder scale."""
     from ..kernels.lbp import lbp_eval_scale
@@ -350,10 +395,17 @@ def lbp_detect(cascade: LbpCascade, ii: jnp.ndarray, max_rects: int,
            if pallas_ladder else None)
 
     hits = _scale_calls(cascade, iib, iip, plan, use_pallas, step)
-    mask = jnp.concatenate(hits, axis=1)  # (nb, total_windows)
     all_x, all_y, all_w, all_h = _window_metas(
         cascade, ih, iw, scale_factor, min_scale, max_scale, step)
-    table = _emit_rects(mask, all_x, all_y, all_w, all_h, cap)
+    total = sum(int(h.shape[1]) for h in hits)
+    if _on_tpu() and total < (1 << 23):
+        # fused per-scale emission — skips the whole-ladder mask concat and
+        # its key-build pass (measured: the concat + single big top-k was
+        # the 227 -> 281 M win/s kernel-to-pipeline gap's largest term)
+        table = _emit_rects_ladder(tuple(hits), all_x, all_y, all_w, all_h, cap)
+    else:
+        mask = jnp.concatenate(hits, axis=1)  # (nb, total_windows)
+        table = _emit_rects(mask, all_x, all_y, all_w, all_h, cap)
     if single:
         return Rects(*(v[0] for v in table))
     return table

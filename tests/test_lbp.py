@@ -336,3 +336,35 @@ def test_lbp_kernel_interpret_custom_cascade():
                 lbp_eval_scale(cas, iip, scale, ny, nx, step, interpret=True))
             np.testing.assert_array_equal(
                 got, ref, err_msg=f"scale={scale} step={step}")
+
+
+def test_emit_rects_ladder_matches_concat(rng):
+    """The fused per-scale emission must be bit-identical to the
+    concat-then-top-k path across sparse/dense/truncating regimes."""
+    import jax.numpy as jnp
+
+    from grayskull_tpu.ops.lbp import _emit_rects, _emit_rects_ladder
+
+    nb = 3
+    sizes = (1200, 301, 64, 7)  # uneven per-scale window counts
+    total = sum(sizes)
+    metas = tuple(jnp.asarray(rng.integers(0, 500, total, dtype=np.int32))
+                  for _ in range(4))
+    for cap, dens in ((50, 0.01), (50, 0.4), (8, 0.9), (2000, 0.05)):
+        hits = [jnp.asarray(rng.random((nb, s)) < dens) for s in sizes]
+        # force edge patterns: empty scale, full scale, exact boundary hit
+        hits[2] = jnp.zeros((nb, sizes[2]), bool)
+        hits[3] = jnp.ones((nb, sizes[3]), bool)
+        got = _emit_rects_ladder(tuple(hits), *metas, cap)
+        want = _emit_rects(jnp.concatenate(hits, axis=1), *metas, cap)
+        for f in ("n", "x", "y", "w", "h"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got, f)), np.asarray(getattr(want, f)),
+                err_msg=f"cap={cap} dens={dens} field={f}")
+    # single-scale ladder takes the no-concat branch
+    hits = [jnp.asarray(rng.random((nb, 500)) < 0.2)]
+    got = _emit_rects_ladder(tuple(hits), *metas, 30)
+    want = _emit_rects(hits[0], *metas, 30)
+    for f in ("n", "x", "y", "w", "h"):
+        np.testing.assert_array_equal(np.asarray(getattr(got, f)),
+                                      np.asarray(getattr(want, f)), err_msg=f)
