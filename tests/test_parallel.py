@@ -157,6 +157,40 @@ def test_halo_exchange_roundtrip(cpu8):
     np.testing.assert_array_equal(s[7, :2], x[26:28])
 
 
+from tests.conftest import tpu_default as _tpu_default
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(not _tpu_default(), reason="needs TPU as default device")
+def test_shardmap_mosaic_on_hardware(rng):
+    """Mosaic kernels INSIDE shard_map on the real chip (1x1 mesh).
+
+    Interpret-mode CPU-mesh tests can't catch hardware-only Mosaic
+    surprises (the r3 serpentine-CCL livelock class), so this runs the
+    Pallas bodies under shard_map on the device: the fused preprocess
+    window kernels, the blocked-scan integral, and the pure-XLA sparse ORB
+    shard body for the collective lowering."""
+    from grayskull_tpu.ops.features import orb_extract
+    from grayskull_tpu.parallel import orb_extract_spatial
+
+    mesh = make_mesh((1, 1), devices=jax.devices()[:1])
+    imgs = rng.integers(0, 256, (2, 256, 256), dtype=np.uint8)
+
+    out = preprocess_spatial_shardmap(imgs, mesh, kernels=True)
+    ref = preprocess_reference(imgs)
+    for name, a, b in zip(("blurred", "binary", "edges", "t"), out, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
+
+    got = integral_sharded(imgs, mesh, kernels=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(gs.integral(imgs)))
+
+    k_ref = orb_extract(imgs[0], 64, 20)
+    k_got = orb_extract_spatial(imgs[0], mesh, 64, 20)
+    for f in ("n", "x", "y", "response", "angle", "descriptor"):
+        np.testing.assert_array_equal(np.asarray(getattr(k_got, f)),
+                                      np.asarray(getattr(k_ref, f)), err_msg=f)
+
+
 def test_scan_sharded_matches_single(testdata):
     """Data-parallel scanner must be bit-identical per frame."""
     import jax.numpy as jnp
