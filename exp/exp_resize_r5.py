@@ -1,0 +1,79 @@
+"""r5: fused Pallas bilinear resize — hardware bit-exact sweep + A/B.
+
+The XLA formulation (ops/pixel.py ``_resize``) measured 19.7k fps on the
+1024^2 -> 640x480 benchmark downscale, 9.9% of the HBM roofline (r4): four
+full-frame one-hot selection passes plus the exact-f32 adder over four
+f32 term maps.  kernels/resize.py fuses band row-select + column one-hot
+contractions + the lerp into one pass per 64-row output block.
+
+Measures, in ONE process on device-produced inputs:
+  * hardware bit-exactness vs the XLA path (which parity tests pin to the
+    C oracle) across down/up/odd/identity shapes AND that Mosaic does not
+    contract the in-kernel lerp (this is the "bit-exact sweep" the kernel
+    docstring cites);
+  * A/B fps on the benchmark shape (batch-32 1MP downscale), both paths.
+
+Run: python exp/exp_resize_r5.py   (TPU)
+"""
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from grayskull_tpu.kernels.resize import resize_pallas, resize_pallas_available
+from grayskull_tpu.ops.pixel import _resize
+from grayskull_tpu.profiling import timeit
+
+SHAPES = [
+    ((1024, 1024), (480, 640)),  # the benchmark downscale
+    ((480, 640), (768, 1024)),   # upscale
+    ((480, 640), (347, 200)),    # odd dh, narrow dw
+    ((200, 256), (200, 256)),    # identity-size geometry
+    ((240, 320), (480, 640)),    # exact 2x (dyadic weights)
+]
+
+
+def main():
+    out = {"backend": jax.default_backend()}
+    rng = np.random.default_rng(42)
+
+    flips = {}
+    for src, dst in SHAPES:
+        assert resize_pallas_available(*src, *dst), (src, dst)
+        img = jnp.asarray(rng.integers(0, 256, (4,) + src, dtype=np.uint8))
+        got = np.asarray(resize_pallas(img, dst))
+        want = np.asarray(_resize(img, dst))
+        n = int((got != want).sum())
+        flips[f"{src[0]}x{src[1]}->{dst[0]}x{dst[1]}"] = n
+        assert n == 0, (src, dst, n)  # Mosaic must not contract the lerp
+    out["bitexact_flips"] = flips
+    print("bit-exact sweep OK:", flips)
+
+    # batch 256 matches bench_all's 1MP batch: 32 frames/call sits at the
+    # ~1.5 ms tunnel dispatch floor and under-resolves the A/B
+    nb = 256
+    batch = jnp.asarray(rng.integers(0, 256, (nb, 1024, 1024), dtype=np.uint8))
+    dst = (480, 640)
+    f_xla = jax.jit(lambda b: _resize(b, dst))
+    f_pal = jax.jit(lambda b: resize_pallas(b, dst))
+    t_xla = timeit(f_xla, batch, iters=10, repeat=3)
+    t_pal = timeit(f_pal, batch, iters=10, repeat=3)
+    out["xla_1MP_fps"] = nb / t_xla
+    out["pallas_1MP_fps"] = nb / t_pal
+    out["speedup"] = t_xla / t_pal
+    print(f"downscale 1MP: xla {nb/t_xla:.0f} fps  pallas {nb/t_pal:.0f} fps "
+          f"({t_xla/t_pal:.2f}x)")
+
+    with open("/root/repo/exp/results_resize_r5.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    assert jax.default_backend() == "tpu"
+    main()

@@ -10,6 +10,7 @@ backend + geometry and falls back to the XLA formulation elsewhere:
 * :mod:`.ccl` — serpentine-strip connected components (VMEM fixpoints)
 * :mod:`.warp` — gather-free quad-warp corner sampler (one-hot selects)
 * :mod:`.patches` — keypoint 48x48 patch extractor (window one-hot selects)
+* :mod:`.resize` — fused bilinear resize (band one-hot sampler, in-kernel lerp)
 """
 
 from .ccl import ccl_pallas_available, ccl_serpentine  # noqa: F401
@@ -21,6 +22,7 @@ from .patches import extract_patches_batched, patches_pallas_available  # noqa: 
 from .preproc import (adaptive_pallas, blur_pallas, filter3_pallas,  # noqa: F401
                       fused_blur_hist, fused_threshold_sobel, morph_pallas,
                       preproc_available, sobel_pallas, stencil_available)
+from .resize import resize_pallas, resize_pallas_available  # noqa: F401
 from .warp import quad_sample, quad_sample_available  # noqa: F401
 
 __all__ = [
@@ -47,4 +49,6 @@ __all__ = [
     "filter3_pallas",
     "quad_sample",
     "quad_sample_available",
+    "resize_pallas",
+    "resize_pallas_available",
 ]

@@ -184,8 +184,21 @@ def resize(img: jnp.ndarray, size) -> jnp.ndarray:
 
     ``size`` is static ``(h, w)``.  Float math is float32 with the reference's exact
     operation order; the final store truncates toward zero like the C uint8 cast.
+    On TPU, qualifying shapes dispatch to the fused Pallas band sampler
+    (kernels/resize.py) — one pass instead of four full-frame one-hot
+    selections plus the exact-f32 adder tail (bit-exact either way: Mosaic
+    does not contract the lerp into FMA).
     """
-    return _resize(img, (int(size[0]), int(size[1])))
+    size = (int(size[0]), int(size[1]))
+    sh, sw = img.shape[-2:]
+    if _on_tpu() and img.dtype == jnp.uint8:
+        from ..kernels.resize import resize_pallas, resize_pallas_available
+
+        if resize_pallas_available(sh, sw, *size):
+            lead = img.shape[:-2]
+            out = resize_pallas(img.reshape((-1, sh, sw)), size)
+            return out.reshape(lead + size)
+    return _resize(img, size)
 
 
 @jax.jit

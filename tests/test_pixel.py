@@ -223,3 +223,83 @@ def test_hist_nibble_matmul_matches_bincount(rng):
     got = np.asarray(_hist_nibble_matmul(jnp.asarray(flat)))
     want = np.stack([np.bincount(r, minlength=256) for r in flat]).astype(np.uint32)
     np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# fused Pallas bilinear resize (kernels/resize.py)
+# ---------------------------------------------------------------------------
+
+_RESIZE_SHAPES = [
+    ((1024, 1024), (480, 640)),  # the benchmark downscale
+    ((480, 640), (768, 1024)),   # upscale
+    ((480, 640), (347, 200)),    # odd dh (block padding), narrow dw
+    ((200, 256), (200, 256)),    # identity-size pass-through geometry
+]
+
+
+def test_resize_pallas_interpret(rng):
+    """Interpret-mode check of the fused kernel vs the XLA formulation.
+
+    In interpret mode the lerp lowers through XLA:CPU, which contracts
+    ``a*b + c`` into FMA (unlike Mosaic on hardware) — measured ~3 ppm
+    single-count uint8 flips on random data — so this asserts the corner
+    selection plumbing (geometry, bands, one-hot tables) via a <=1-count
+    envelope with a tiny flip budget; the tpu-marked test asserts full
+    bit-exactness on hardware."""
+    import jax.numpy as jnp
+
+    from grayskull_tpu.kernels.resize import (resize_pallas,
+                                              resize_pallas_available)
+    from grayskull_tpu.ops.pixel import _resize
+
+    for src, dst in _RESIZE_SHAPES:
+        assert resize_pallas_available(*src, *dst), (src, dst)
+        img = rng.integers(0, 256, (2,) + src, dtype=np.uint8)
+        got = np.asarray(resize_pallas(jnp.asarray(img), dst, interpret=True))
+        want = np.asarray(_resize(jnp.asarray(img), dst))
+        diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+        assert diff.max() <= 1, (src, dst, diff.max())
+        flips = int((diff != 0).sum())
+        assert flips <= max(64, diff.size // 10000), (src, dst, flips)
+
+
+def test_resize_pallas_dyadic_exact_interpret(rng):
+    """A 2x upscale has dyadic lerp weights (0, 0.25, 0.75): every product
+    and partial sum is exact in f32, so FMA contraction cannot change a bit
+    — interpret mode must match the XLA path EXACTLY.  This pins the band
+    geometry, block padding, and one-hot tables with zero float slack.
+    (A flat frame is NOT a valid exact case: general weights sum to
+    172.999... and sit exactly on the uint8 truncation boundary, the
+    worst case for contraction.)"""
+    import jax.numpy as jnp
+
+    from grayskull_tpu.kernels.resize import (resize_pallas,
+                                              resize_pallas_available)
+    from grayskull_tpu.ops.pixel import _resize
+
+    for src in [(240, 320), (100, 128), (173, 200)]:
+        dst = (src[0] * 2, src[1] * 2)
+        assert resize_pallas_available(*src, *dst)
+        img = rng.integers(0, 256, (2,) + src, dtype=np.uint8)
+        got = np.asarray(resize_pallas(jnp.asarray(img), dst, interpret=True))
+        want = np.asarray(_resize(jnp.asarray(img), dst))
+        np.testing.assert_array_equal(got, want, err_msg=f"{src}->{dst}")
+
+
+from tests.conftest import tpu_default as _tpu_default  # noqa: E402
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(not _tpu_default(), reason="Pallas resize kernel needs TPU")
+def test_resize_pallas_hardware_parity(oracle, rng):
+    """On hardware Mosaic does NOT contract the lerp, so the fused kernel is
+    bit-exact vs the C reference (and the public ``gs.resize`` dispatches to
+    it for qualifying shapes)."""
+    from grayskull_tpu.kernels.resize import resize_pallas_available
+
+    for src, dst in _RESIZE_SHAPES:
+        assert resize_pallas_available(*src, *dst)
+        img = rng.integers(0, 256, src, dtype=np.uint8)
+        got = np.asarray(gs.resize(img, dst))
+        ref = oracle.resize(img, *dst)
+        np.testing.assert_array_equal(got, ref, err_msg=f"{src}->{dst}")
