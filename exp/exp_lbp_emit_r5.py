@@ -41,24 +41,34 @@ def main():
     lad = scale_ladder(casc, 640, 480, 1.2, 1.0, 4.0)
     nwin = sum(((480 - wh) + 1) * ((640 - ww) + 1) for _, ww, wh in lad)
 
-    det = jax.jit(lambda x: lbp_detect(casc, x, 100, 1.2, 1.0, 4.0, 1))
-    got = jax.block_until_ready(det(iib))
+    # eager dispatch like bench_all (per-scale executables is the design;
+    # outer-jitting the dispatcher is not a supported configuration)
+    def det(x):
+        return lbp_detect(casc, x, 100, 1.2, 1.0, 4.0, 1)
 
-    # A/B: force the concat path by pretending we're off-TPU for the gate
-    orig = mlbp._on_tpu
-    mlbp._on_tpu = lambda: False
+    got = det(iib)  # exactness asserts below force the readback
+
+    # A/B: force the concat path by flipping the EMISSION gate only (the
+    # per-scale Pallas kernels stay on; _emit_rects vs _emit_rects_ladder)
+    orig = mlbp._emit_rects_ladder
+
+    def _concat_emit(hits, all_x, all_y, all_w, all_h, cap):
+        import jax.numpy as _jnp
+        return mlbp._emit_rects(_jnp.concatenate(hits, axis=1),
+                                all_x, all_y, all_w, all_h, cap)
+
+    mlbp._emit_rects_ladder = _concat_emit
     try:
-        det_concat = jax.jit(lambda x: lbp_detect(casc, x, 100, 1.2, 1.0, 4.0, 1))
-        want = jax.block_until_ready(det_concat(iib))
+        want = det(iib)
+        for f in ("n", "x", "y", "w", "h"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got, f)), np.asarray(getattr(want, f)),
+                err_msg=f)
+        print("hardware exactness OK (ladder == concat emission)")
+        t_cat = timeit(det, iib, iters=10, repeat=3)
     finally:
-        mlbp._on_tpu = orig
-    for f in ("n", "x", "y", "w", "h"):
-        np.testing.assert_array_equal(
-            np.asarray(getattr(got, f)), np.asarray(getattr(want, f)), err_msg=f)
-    print("hardware exactness OK (ladder == concat emission)")
-
+        mlbp._emit_rects_ladder = orig
     t_lad = timeit(det, iib, iters=10, repeat=3)
-    t_cat = timeit(det_concat, iib, iters=10, repeat=3)
     out["ladder_win_per_sec"] = nb * nwin / t_lad
     out["concat_win_per_sec"] = nb * nwin / t_cat
     out["ladder_fps"] = nb / t_lad

@@ -56,8 +56,8 @@ def _coords_np(dst_n: int, src_n: int):
     i1 = np.minimum(i0 + 1, src_n - 1)
     return i0, i1, (s - i0.astype(np.float32)).astype(np.float32)
 
-_OUT_BLK = 64  # output rows per grid step (y0+y1 rows fill the 128 MXU rows)
-_SRC_VMEM_BYTES = 4 * 1024 * 1024  # whole-frame int16 block budget (warp gate)
+_OUT_BLK = 64  # default output rows per grid step (y0+y1 fill 128 MXU rows)
+_SRC_VMEM_BYTES = 4 * 1024 * 1024  # whole-frame source block budget (warp gate)
 _TOTAL_VMEM_BYTES = 11 * 1024 * 1024  # conservative scoped-VMEM budget
 
 
@@ -65,66 +65,74 @@ def _round(v: int, m: int) -> int:
     return (v + m - 1) // m * m
 
 
-def _geometry(sh: int, sw: int, dh: int, dw: int):
-    """Static band geometry + host coordinate tables for one resize shape."""
+def _geometry(sh: int, sw: int, dh: int, dw: int, blk: int = _OUT_BLK,
+              align: int = 16):
+    """Static band geometry + host coordinate tables for one resize shape.
+
+    ``align`` is the source sublane tiling (16 for the int16 source, 32 for
+    uint8): band starts and the band height must be multiples of it.
+    """
     x0, x1, dx = _coords_np(dw, sw)
     y0, y1, dy = _coords_np(dh, sh)
-    dhp = _round(dh, _OUT_BLK)
+    dhp = _round(dh, blk)
     dwp = _round(dw, 128)
-    shp = _round(sh, 16) + 16
-    nblk = dhp // _OUT_BLK
+    shp = _round(sh, align) + align
+    nblk = dhp // blk
     # per-block source row span (edge rows replicate the last coordinate)
     y0e = np.concatenate([y0, np.full(dhp - dh, y0[-1] if dh else 0, np.int32)])
     y1e = np.concatenate([y1, np.full(dhp - dh, y1[-1] if dh else 0, np.int32)])
-    bs = (y0e.reshape(nblk, _OUT_BLK)[:, 0] // 16) * 16  # 16-aligned starts
-    span = int((y1e.reshape(nblk, _OUT_BLK)[:, -1] - bs).max()) + 1
-    band = _round(span, 16)
+    bs = (y0e.reshape(nblk, blk)[:, 0] // align) * align  # aligned starts
+    span = int((y1e.reshape(nblk, blk)[:, -1] - bs).max()) + 1
+    band = _round(span, align)
     # the in-kernel ``pl.ds(bs, band)`` read must stay inside the padded
     # source: Pallas CLAMPS an out-of-range dynamic-slice start, which would
     # silently shift the rows under the block's one-hot table (the table uses
     # the same ``bs``, so clamping here keeps both consistent; row indices
-    # stay < band because y <= sh-1 <= shp-16-1 and shp-band <= bs)
+    # stay < band because y <= sh-1 <= shp-align-1 and shp-band <= bs)
     if band <= shp:
         bs = np.minimum(bs, shp - band).astype(bs.dtype)
     return x0, x1, dx, y0e, y1e, dy, bs, band, shp, dhp, dwp, nblk
 
 
-def resize_pallas_available(sh: int, sw: int, dh: int, dw: int) -> bool:
+def resize_pallas_available(sh: int, sw: int, dh: int, dw: int,
+                            blk: int = _OUT_BLK, src_u8: bool = False) -> bool:
     if min(sh, sw, dh, dw) < 8 or sw < 128:
         return False
-    shp = _round(sh, 16) + 16
+    align, sb = (32, 1) if src_u8 else (16, 2)
+    shp = _round(sh, align) + align
     swp = _round(sw, 128)
-    if shp * swp * 2 > _SRC_VMEM_BYTES:
+    if shp * swp * sb > _SRC_VMEM_BYTES:
         return False
-    _, _, _, _, _, _, _, band, _, _, dwp, _ = _geometry(sh, sw, dh, dw)
+    _, _, _, _, _, _, _, band, _, _, dwp, _ = _geometry(sh, sw, dh, dw, blk,
+                                                        align)
     if band > shp:
         return False
     est = (
-        shp * swp * 2                # resident int16 source
+        shp * swp * sb               # resident source
         + 2 * swp * dwp * 2          # OHX0/OHX1 bf16 (resident)
         + band * swp * (4 + 2)       # band i32 + bf16 view
-        + 2 * 2 * _OUT_BLK * band * 2  # R blocks bf16 (double-buffered)
-        + 2 * _OUT_BLK * swp * (4 + 2)  # rows01 f32 + bf16
-        + 2 * 2 * _OUT_BLK * dwp * 4    # c0/c1 f32
-        + 6 * _OUT_BLK * dwp * 4        # lerp temporaries
+        + 2 * 2 * blk * band * 2     # R blocks bf16 (double-buffered)
+        + 2 * blk * swp * (4 + 2)    # rows01 f32 + bf16
+        + 2 * 2 * blk * dwp * 4      # c0/c1 f32
+        + 6 * blk * dwp * 4          # lerp temporaries
     )
     return est <= _TOTAL_VMEM_BYTES
 
 
 def _kernel(bs_ref, src_ref, r_ref, ohx0_ref, ohx1_ref, wx_ref, wy_ref,
-            out_ref, *, band: int, swp: int, dwp: int):
+            out_ref, *, blk: int, band: int, swp: int, dwp: int, align: int):
     j = pl.program_id(1)
-    bs = pl.multiple_of(bs_ref[j], 16)
+    bs = pl.multiple_of(bs_ref[j], align)
     rows = src_ref[0, pl.ds(bs, band), :]
     bandf = rows.astype(jnp.int32).astype(jnp.bfloat16)  # uint8 exact in bf16
 
-    # row picks: (128, band) @ (band, swp) — rows 0..63 -> y0, 64..127 -> y1
+    # row picks: (2*blk, band) @ (band, swp) — rows 0..blk-1 -> y0, rest y1
     rows01 = jax.lax.dot_general(
         r_ref[0], bandf, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(jnp.bfloat16)
 
-    # column picks: (128, swp) @ (swp, dwp), one matmul per corner pair
+    # column picks: (2*blk, swp) @ (swp, dwp), one matmul per corner pair
     c0 = jax.lax.dot_general(
         rows01, ohx0_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -133,12 +141,12 @@ def _kernel(bs_ref, src_ref, r_ref, ohx0_ref, ohx1_ref, wx_ref, wy_ref,
         rows01, ohx1_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    c00, c10 = c0[:_OUT_BLK], c0[_OUT_BLK:]
-    c01, c11 = c1[:_OUT_BLK], c1[_OUT_BLK:]
+    c00, c10 = c0[:blk], c0[blk:]
+    c01, c11 = c1[:blk], c1[blk:]
 
     ndx = wx_ref[0:1, :]     # (1, dwp) = 1 - dx  (host f32, C's runtime op)
     dx = wx_ref[1:2, :]
-    ndy = wy_ref[0, :, 0:1]  # (OUT_BLK, 1)
+    ndy = wy_ref[0, :, 0:1]  # (blk, 1)
     dy = wy_ref[0, :, 1:2]
     # exact C association (grayskull.h:183-184); Mosaic does not contract
     t1 = (c00 * ndx) * ndy
@@ -151,20 +159,28 @@ def _kernel(bs_ref, src_ref, r_ref, ohx0_ref, ohx1_ref, wx_ref, wy_ref,
     out_ref[0] = p.astype(jnp.int32).astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("size", "interpret"))
-def resize_pallas(img: jnp.ndarray, size, interpret: bool = False):
+@functools.partial(jax.jit,
+                   static_argnames=("size", "interpret", "blk", "src_u8"))
+def resize_pallas(img: jnp.ndarray, size, interpret: bool = False,
+                  blk: int = _OUT_BLK, src_u8: bool = False):
     """(N, sh, sw) uint8 -> (N, dh, dw) uint8 bilinear resize, fused.
 
-    Callers gate on ``resize_pallas_available``.  Bit-exact vs ``gs_resize``
-    on TPU hardware; see the module docstring for the interpret-mode caveat.
+    Callers gate on ``resize_pallas_available`` (same ``blk``/``src_u8``).
+    Bit-exact vs ``gs_resize`` on TPU hardware; see the module docstring for
+    the interpret-mode caveat.  ``src_u8`` keeps the resident frame uint8
+    (halves the source VMEM and skips the XLA int16-convert pass at the cost
+    of 32-row band alignment); both variants compute identically.
     """
     n, sh, sw = img.shape
     dh, dw = size
+    align = 32 if src_u8 else 16
     x0, x1, dx, y0e, y1e, dy, bs, band, shp, dhp, dwp, nblk = _geometry(
-        sh, sw, dh, dw)
+        sh, sw, dh, dw, blk, align)
     swp = _round(sw, 128)
 
-    srcp = jnp.pad(img, ((0, 0), (0, shp - sh), (0, swp - sw))).astype(jnp.int16)
+    srcp = jnp.pad(img, ((0, 0), (0, shp - sh), (0, swp - sw)))
+    if not src_u8:
+        srcp = srcp.astype(jnp.int16)
 
     # static one-hot column matrices (padded dest lanes re-pick column 0)
     ohx0 = np.zeros((swp, dwp), np.float32)
@@ -173,11 +189,11 @@ def resize_pallas(img: jnp.ndarray, size, interpret: bool = False):
     ohx1[np.asarray(x1), np.arange(dw)] = 1.0
 
     # static one-hot row matrices per block (y0 rows then y1 rows, band-rel)
-    r = np.zeros((nblk, 2 * _OUT_BLK, band), np.float32)
-    bi = np.repeat(np.arange(nblk), _OUT_BLK)
-    ri = np.tile(np.arange(_OUT_BLK), nblk)
-    r[bi, ri, y0e - np.repeat(bs, _OUT_BLK)] = 1.0
-    r[bi, ri + _OUT_BLK, y1e - np.repeat(bs, _OUT_BLK)] = 1.0
+    r = np.zeros((nblk, 2 * blk, band), np.float32)
+    bi = np.repeat(np.arange(nblk), blk)
+    ri = np.tile(np.arange(blk), nblk)
+    r[bi, ri, y0e - np.repeat(bs, blk)] = 1.0
+    r[bi, ri + blk, y1e - np.repeat(bs, blk)] = 1.0
 
     wx = np.stack([np.float32(1.0) - dx, dx])  # (2, dw)
     wx = np.pad(wx, ((0, 0), (0, dwp - dw)))
@@ -185,14 +201,15 @@ def resize_pallas(img: jnp.ndarray, size, interpret: bool = False):
     wy = np.stack([np.float32(1.0) - dye, dye], axis=-1)  # (dhp, 2)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, band=band, swp=swp, dwp=dwp),
+        functools.partial(_kernel, blk=blk, band=band, swp=swp, dwp=dwp,
+                          align=align),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,  # bs
             grid=(n, nblk),
             in_specs=[
                 pl.BlockSpec((1, shp, swp), lambda i, j, bs_: (i, 0, 0),
                              memory_space=pltpu.VMEM),  # revisited frame
-                pl.BlockSpec((1, 2 * _OUT_BLK, band), lambda i, j, bs_: (j, 0, 0),
+                pl.BlockSpec((1, 2 * blk, band), lambda i, j, bs_: (j, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((swp, dwp), lambda i, j, bs_: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -200,10 +217,10 @@ def resize_pallas(img: jnp.ndarray, size, interpret: bool = False):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((2, dwp), lambda i, j, bs_: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, _OUT_BLK, 2), lambda i, j, bs_: (0, j, 0),
+                pl.BlockSpec((1, blk, 2), lambda i, j, bs_: (0, j, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, _OUT_BLK, dwp), lambda i, j, bs_: (i, j, 0),
+            out_specs=pl.BlockSpec((1, blk, dwp), lambda i, j, bs_: (i, j, 0),
                                    memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((n, dhp, dwp), jnp.uint8),
