@@ -65,20 +65,23 @@ def main():
     want = np.asarray(f_xla(batch[:4]))
     print(f"downscale 1MP: xla {nb/t_xla:.0f} fps")
     # variant matrix: block height x source dtype (u8 skips the int16
-    # convert pass and halves resident VMEM at 32-row band alignment)
-    for blk in (64, 128, 256):
+    # convert pass and halves resident VMEM at 32-row band alignment) x
+    # banded column selection (cuts the column-pick MXU FLOPs swp/sband-x)
+    for blk in (64, 128):
         for u8 in (False, True):
-            if not resize_pallas_available(*batch.shape[1:], *dst,
-                                           blk=blk, src_u8=u8):
-                print(f"  blk={blk} u8={u8}: unavailable")
-                continue
-            f_pal = jax.jit(lambda b, blk=blk, u8=u8: resize_pallas(
-                b, dst, blk=blk, src_u8=u8))
-            np.testing.assert_array_equal(np.asarray(f_pal(batch[:4])), want)
-            t_pal = timeit(f_pal, batch, iters=10, repeat=3)
-            out[f"pallas_blk{blk}{'_u8' if u8 else ''}_1MP_fps"] = nb / t_pal
-            print(f"  blk={blk} u8={u8}: {nb/t_pal:.0f} fps "
-                  f"({t_xla/t_pal:.2f}x xla)")
+            for bd in (False, True):
+                if not resize_pallas_available(*batch.shape[1:], *dst,
+                                               blk=blk, src_u8=u8):
+                    print(f"  blk={blk} u8={u8}: unavailable")
+                    continue
+                f_pal = jax.jit(lambda b, blk=blk, u8=u8, bd=bd: resize_pallas(
+                    b, dst, blk=blk, src_u8=u8, banded=bd))
+                np.testing.assert_array_equal(np.asarray(f_pal(batch[:4])),
+                                              want)
+                t_pal = timeit(f_pal, batch, iters=10, repeat=3)
+                tag = f"blk{blk}{'_u8' if u8 else ''}{'_band' if bd else ''}"
+                out[f"pallas_{tag}_1MP_fps"] = nb / t_pal
+                print(f"  {tag}: {nb/t_pal:.0f} fps ({t_xla/t_pal:.2f}x xla)")
     best = max(v for k, v in out.items() if k.startswith("pallas_"))
     out["pallas_1MP_fps"] = best
     out["speedup"] = best / out["xla_1MP_fps"]

@@ -119,8 +119,43 @@ def resize_pallas_available(sh: int, sw: int, dh: int, dw: int,
     return est <= _TOTAL_VMEM_BYTES
 
 
+def _col_chunks(x0, x1, dw: int, dwp: int, swp: int):
+    """Banded column-selection tables, or None when banding saves no MXU work.
+
+    The full one-hot matrices are (swp, dwp) with exactly one nonzero per
+    real output column — for the 1MP downscale that is ~2.7 GFLOP/frame of
+    mostly-zero MXU work, the measured bound of the blk64/u8 variant.  The
+    x maps are monotone, so each 128-column output chunk reads a narrow
+    source band: per-chunk (sband, 128) one-hots cut the column-pick FLOPs
+    by swp/sband (4x on the benchmark downscale, 5x on the 2x upscale).
+    """
+    nchunk = dwp // 128
+    offs, spans = [], []
+    for c in range(nchunk):
+        lo, hi = c * 128, min((c + 1) * 128, dw)
+        if lo >= dw:  # fully padded chunk: all-zero one-hot, any offset
+            offs.append(0)
+            spans.append(0)
+            continue
+        off = (int(x0[lo]) // 128) * 128
+        offs.append(off)
+        spans.append(int(x1[hi - 1]) - off + 1)
+    sband = _round(max(spans), 128)
+    if sband >= swp:  # degenerate mapping: the full matmul is no worse
+        return None
+    offs = [min(o, swp - sband) for o in offs]
+    ohb0 = np.zeros((nchunk, sband, 128), np.float32)
+    ohb1 = np.zeros((nchunk, sband, 128), np.float32)
+    j = np.arange(dw)
+    c = j // 128
+    ohb0[c, np.asarray(x0) - np.asarray(offs)[c], j % 128] = 1.0
+    ohb1[c, np.asarray(x1) - np.asarray(offs)[c], j % 128] = 1.0
+    return tuple(offs), sband, ohb0, ohb1
+
+
 def _kernel(bs_ref, src_ref, r_ref, ohx0_ref, ohx1_ref, wx_ref, wy_ref,
-            out_ref, *, blk: int, band: int, swp: int, dwp: int, align: int):
+            out_ref, *, blk: int, band: int, swp: int, dwp: int, align: int,
+            offs):
     j = pl.program_id(1)
     bs = pl.multiple_of(bs_ref[j], align)
     rows = src_ref[0, pl.ds(bs, band), :]
@@ -132,15 +167,32 @@ def _kernel(bs_ref, src_ref, r_ref, ohx0_ref, ohx1_ref, wx_ref, wy_ref,
         preferred_element_type=jnp.float32,
     ).astype(jnp.bfloat16)
 
-    # column picks: (2*blk, swp) @ (swp, dwp), one matmul per corner pair
-    c0 = jax.lax.dot_general(
-        rows01, ohx0_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    c1 = jax.lax.dot_general(
-        rows01, ohx1_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    if offs is None:
+        # column picks: (2*blk, swp) @ (swp, dwp), one matmul per corner pair
+        c0 = jax.lax.dot_general(
+            rows01, ohx0_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        c1 = jax.lax.dot_general(
+            rows01, ohx1_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        # banded column picks: per 128-column chunk, (2*blk, sband) @
+        # (sband, 128) with a static 128-aligned source slice (offsets are
+        # host constants — the x maps are static)
+        p0, p1 = [], []
+        sband = ohx0_ref.shape[1]
+        for c, off in enumerate(offs):
+            seg = rows01[:, off : off + sband]
+            p0.append(jax.lax.dot_general(
+                seg, ohx0_ref[c], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            p1.append(jax.lax.dot_general(
+                seg, ohx1_ref[c], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        c0 = p0[0] if len(p0) == 1 else jnp.concatenate(p0, axis=1)
+        c1 = p1[0] if len(p1) == 1 else jnp.concatenate(p1, axis=1)
     c00, c10 = c0[:blk], c0[blk:]
     c01, c11 = c1[:blk], c1[blk:]
 
@@ -160,9 +212,11 @@ def _kernel(bs_ref, src_ref, r_ref, ohx0_ref, ohx1_ref, wx_ref, wy_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("size", "interpret", "blk", "src_u8"))
+                   static_argnames=("size", "interpret", "blk", "src_u8",
+                                    "banded"))
 def resize_pallas(img: jnp.ndarray, size, interpret: bool = False,
-                  blk: int = _OUT_BLK, src_u8: bool = False):
+                  blk: int = _OUT_BLK, src_u8: bool = False,
+                  banded: bool = True):
     """(N, sh, sw) uint8 -> (N, dh, dw) uint8 bilinear resize, fused.
 
     Callers gate on ``resize_pallas_available`` (same ``blk``/``src_u8``).
@@ -182,11 +236,20 @@ def resize_pallas(img: jnp.ndarray, size, interpret: bool = False,
     if not src_u8:
         srcp = srcp.astype(jnp.int16)
 
-    # static one-hot column matrices (padded dest lanes re-pick column 0)
-    ohx0 = np.zeros((swp, dwp), np.float32)
-    ohx0[np.asarray(x0), np.arange(dw)] = 1.0
-    ohx1 = np.zeros((swp, dwp), np.float32)
-    ohx1[np.asarray(x1), np.arange(dw)] = 1.0
+    chunks = _col_chunks(x0, x1, dw, dwp, swp) if banded else None
+    if chunks is not None:
+        offs, _, ohx0, ohx1 = chunks
+        oh_spec = pl.BlockSpec(ohx0.shape, lambda i, j, bs_: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        offs = None
+        # static one-hot column matrices (padded dest lanes stay all-zero)
+        ohx0 = np.zeros((swp, dwp), np.float32)
+        ohx0[np.asarray(x0), np.arange(dw)] = 1.0
+        ohx1 = np.zeros((swp, dwp), np.float32)
+        ohx1[np.asarray(x1), np.arange(dw)] = 1.0
+        oh_spec = pl.BlockSpec((swp, dwp), lambda i, j, bs_: (0, 0),
+                               memory_space=pltpu.VMEM)
 
     # static one-hot row matrices per block (y0 rows then y1 rows, band-rel)
     r = np.zeros((nblk, 2 * blk, band), np.float32)
@@ -202,7 +265,7 @@ def resize_pallas(img: jnp.ndarray, size, interpret: bool = False,
 
     out = pl.pallas_call(
         functools.partial(_kernel, blk=blk, band=band, swp=swp, dwp=dwp,
-                          align=align),
+                          align=align, offs=offs),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,  # bs
             grid=(n, nblk),
@@ -211,10 +274,8 @@ def resize_pallas(img: jnp.ndarray, size, interpret: bool = False,
                              memory_space=pltpu.VMEM),  # revisited frame
                 pl.BlockSpec((1, 2 * blk, band), lambda i, j, bs_: (j, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((swp, dwp), lambda i, j, bs_: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((swp, dwp), lambda i, j, bs_: (0, 0),
-                             memory_space=pltpu.VMEM),
+                oh_spec,
+                oh_spec,
                 pl.BlockSpec((2, dwp), lambda i, j, bs_: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, blk, 2), lambda i, j, bs_: (0, j, 0),
