@@ -69,14 +69,26 @@ def _fast_block_body(thr_v, x_ref, top_ref, bot_ref, blk, wp, h, w):
     bright = [v > p + thr_v for v in views]
     dark = [(~b) & ((d < 0) | (v < d)) for v, b in zip(views, bright)]
 
-    run_b = jnp.zeros((ext, wp), jnp.int32)
-    run_d = jnp.zeros((ext, wp), jnp.int32)
-    corner = jnp.zeros((ext, wp), jnp.bool_)
-    for i in range(16 + 9):
-        k = i % 16
-        run_b = jnp.where(bright[k], run_b + 1, 0)
-        run_d = jnp.where(dark[k], run_d + 1, 0)
-        corner = corner | (run_b >= 9) | (run_d >= 9)
+    # wrapped run-of-9 detection as bitmask shift-AND folding (r5): pack the
+    # 16 polarity tests into one int32 lane mask, duplicate the first 9 bits
+    # above bit 16 (the C scans 16+9 wrapped samples, grayskull.h:493-512),
+    # then fold — bit i of m9 says samples i..i+8 all pass.  ~16 vector ops
+    # replace the 25-step x ~7-op run sweep (the kernel's hottest chain).
+    # Bits stay <= 24 so arithmetic >> never smears a sign bit.
+    bb = jnp.zeros((ext, wp), jnp.int32)
+    dd = jnp.zeros((ext, wp), jnp.int32)
+    for k in range(16):
+        bb = bb | (bright[k].astype(jnp.int32) << k)
+        dd = dd | (dark[k].astype(jnp.int32) << k)
+
+    def run9(m):
+        x = m | ((m & 0x1FF) << 16)
+        m1 = x & (x >> 1)   # run >= 2 at bit i
+        m2 = m1 & (m1 >> 2)  # run >= 4
+        m4 = m2 & (m2 >> 4)  # run >= 8
+        return (m4 & (x >> 8)) != 0  # run >= 9
+
+    corner = run9(bb) | run9(dd)
 
     min_diff = jnp.abs(views[0] - p)
     for v in views[1:]:

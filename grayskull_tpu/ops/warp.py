@@ -82,19 +82,29 @@ def _warp_rows(src: jnp.ndarray, corners: jnp.ndarray, u: jnp.ndarray,
                       gather(y1, x1), dy, dx)
 
 
+# banded-sampler config ladder: the narrow config covers every mildly tilted
+# document-scale quad (measured spans on the scan benchmarks: <=17 rows,
+# <=123 cols per tile); the wide one covers ~40 deg tilts and up to ~3x
+# source-to-output downscales before the gather path takes over.
+_BANDED_CONFIGS = ((64, 256), (128, 512))
+
+
 @functools.partial(jax.jit, static_argnames=("size", "interpret"))
 def _warp_batched_tpu(srcs: jnp.ndarray, corners: jnp.ndarray, size,
                       interpret: bool = False):
-    """Batched warp with the Pallas band sampler (kernels/warp.py): corner
-    samples via one-hot MXU selects instead of serialized gathers (measured
-    34 ms -> ~3 ms per 1000x800 page), with a runtime fallback to the
-    gather path when a block's source span exceeds the static band.
+    """Batched warp with the banded Pallas sampler (kernels/warp.py): corner
+    samples via per-tile one-hot MXU selects instead of serialized gathers
+    (r3: 34 ms -> ~3 ms per 1000x800 page with whole-row bands; r5: per-tile
+    bands cut the contraction ~9x further).  A ``lax.cond`` ladder picks the
+    narrowest config whose static band fits every tile's source span; only
+    the taken branch executes on device, and extreme quads fall back to the
+    XLA gather path.
 
     Page heights that are not multiples of 8 edge-replicate the LAST
     coordinate row up to the block size (replicated rows have the same
     source span as the real last row, so band limits are untouched) and
     slice the extra sample rows off before the lerp — exact."""
-    from ..kernels.warp import quad_sample
+    from ..kernels.warp import banded_prep, banded_run
 
     dh, dw = size
     dhp = -(-dh // 8) * 8
@@ -108,10 +118,6 @@ def _warp_batched_tpu(srcs: jnp.ndarray, corners: jnp.ndarray, size,
         rpad = ((0, 0), (0, dhp - dh), (0, 0))
         y0, y1, x0, x1 = (jnp.pad(a, rpad, mode="edge")
                           for a in (y0, y1, x0, x1))
-    sampled, ok = quad_sample(srcs, y0, y1, x0, x1, interpret=interpret)
-
-    def use_sampled(_):
-        return sampled
 
     def use_gather(_):
         def one(src, yy0, yy1, xx0, xx1):
@@ -120,7 +126,24 @@ def _warp_batched_tpu(srcs: jnp.ndarray, corners: jnp.ndarray, size,
 
         return jax.vmap(one)(srcs, y0, y1, x0, x1)
 
-    c00, c01, c10, c11 = jax.lax.cond(ok, use_sampled, use_gather, None)
+    from ..kernels.warp import quad_sample_banded_available
+
+    sh, sw = srcs.shape[-2:]
+    configs = [cfg for cfg in _BANDED_CONFIGS
+               if quad_sample_banded_available(sh, sw, dh, dw, *cfg)]
+    branch = use_gather
+    for kb, kxb in reversed(configs):
+        prep, ok = banded_prep(srcs, y0, y1, x0, x1, kb, kxb)
+
+        def make(pr, k, kx, okk, fb):
+            return lambda _: jax.lax.cond(
+                okk,
+                lambda __: banded_run(pr, dw, k, kx, interpret=interpret),
+                fb, None)
+
+        branch = make(prep, kb, kxb, ok, branch)
+
+    c00, c01, c10, c11 = branch(None)
     if dhp != dh:
         c00, c01, c10, c11 = (c[:, :dh] for c in (c00, c01, c10, c11))
     return _warp_lerp(c00, c01, c10, c11, dy, dx)
@@ -145,7 +168,7 @@ def perspective_correct(src: jnp.ndarray, corners, size) -> jnp.ndarray:
     pipeline on device.
     """
     from ..core import on_tpu
-    from ..kernels.warp import quad_sample_available
+    from ..kernels.warp import quad_sample_banded_available
 
     corners = jnp.asarray(corners)
     if corners.shape[-2:] != (4, 2):
@@ -156,7 +179,8 @@ def perspective_correct(src: jnp.ndarray, corners, size) -> jnp.ndarray:
     cb = corners[None] if corners.ndim == 2 else corners
     if cb.shape[0] != srcs.shape[0]:
         cb = jnp.broadcast_to(cb, (srcs.shape[0], 4, 2))
-    if on_tpu() and quad_sample_available(srcs.shape[1], srcs.shape[2], *size):
+    if on_tpu() and quad_sample_banded_available(
+            srcs.shape[1], srcs.shape[2], *size, *_BANDED_CONFIGS[0]):
         out = _warp_batched_tpu(srcs, cb, size)
         return out[0] if single else out
     if single:

@@ -138,6 +138,71 @@ def test_warp_kernel_odd_height_interpret(oracle, testdata):
     np.testing.assert_array_equal(np.asarray(got)[0], ref)
 
 
+def test_warp_banded_sampler_interpret(testdata):
+    """The r5 per-tile banded sampler (kernels/warp.py quad_sample_banded):
+    corner maps must be exactly ``src[y, x]`` wherever the config's ``ok``
+    holds, and the config ladder must grade from the narrow (64, 256) config
+    (mild document quads) through (128, 512) (steep tilt) to neither
+    (extreme quads -> gather fallback)."""
+    import jax.numpy as jnp
+
+    from grayskull_tpu.kernels.warp import quad_sample_banded
+    from grayskull_tpu.ops.warp import _warp_coords
+
+    img = np.asarray(testdata["document"])
+    h, w = img.shape
+    dh, dw = 1000, 800
+    u = jnp.asarray(np.arange(dw, dtype=np.float32) / np.float32(dw - 1.0))
+    v = jnp.asarray(np.arange(dh, dtype=np.float32) / np.float32(dh - 1.0))
+    quads = {
+        # (expect ok at (64,256), expect ok at (128,512))
+        "mild": (np.array([[50, 40], [700, 60], [690, 1000], [40, 980]],
+                          np.int32), True, True),
+        "steep": (np.array([[0, 400], [760, 0], [767, 600], [10, 1010]],
+                           np.int32), False, True),
+        "extreme": (np.array([[10, 700], [1000, 10], [1020, 760], [3, 10]],
+                             np.int32), False, False),
+    }
+    s = jnp.asarray(img)[None]
+    for name, (q, ok64, ok128) in quads.items():
+        y0, y1, x0, x1, _, _ = _warp_coords((h, w), jnp.asarray(q), u, v)
+        coords = tuple(a[None] for a in (y0, y1, x0, x1))
+        for (kb, kxb), expect in (((64, 256), ok64), ((128, 512), ok128)):
+            maps, ok = quad_sample_banded(s, *coords, kb=kb, kxb=kxb,
+                                          interpret=True)
+            assert bool(ok) == expect, (name, kb, kxb)
+            if not expect:
+                continue
+            c00, c01, c10, c11 = (np.asarray(m[0]) for m in maps)
+            y0n, y1n, x0n, x1n = (np.asarray(a) for a in (y0, y1, x0, x1))
+            np.testing.assert_array_equal(c00, img[y0n, x0n], err_msg=name)
+            np.testing.assert_array_equal(c01, img[y0n, x1n], err_msg=name)
+            np.testing.assert_array_equal(c10, img[y1n, x0n], err_msg=name)
+            np.testing.assert_array_equal(c11, img[y1n, x1n], err_msg=name)
+
+
+def test_warp_banded_ladder_dispatch_interpret(oracle, testdata):
+    """The full TPU dispatch (banded ladder + gather fallback) stays
+    bit-exact vs the C oracle in interpret mode across quads that take each
+    branch of the ladder."""
+    import jax.numpy as jnp
+
+    from grayskull_tpu.ops.warp import _warp_batched_tpu
+
+    img = np.asarray(testdata["document"])
+    quads = [
+        np.array([[50, 40], [700, 60], [690, 1000], [40, 980]], np.int32),
+        np.array([[0, 400], [760, 0], [767, 600], [10, 1010]], np.int32),
+        np.array([[10, 700], [1000, 10], [1020, 760], [3, 10]], np.int32),
+    ]
+    for q in quads:
+        got = _warp_batched_tpu(jnp.asarray(img)[None], jnp.asarray(q)[None],
+                                (1000, 800), interpret=True)
+        ref = oracle.perspective_correct(img, q, 1000, 800)
+        np.testing.assert_array_equal(np.asarray(got)[0], ref,
+                                      err_msg=str(q[0]))
+
+
 def test_perspective_document_scan_quad(oracle, testdata):
     img = testdata["document"]
     h, w = img.shape
@@ -180,7 +245,9 @@ def test_warp_pallas_matches_gather_tpu(testdata):
     cpu = jax.devices("cpu")[0]
     doc = jnp.asarray(testdata["document"])
     quads = [
+        # narrow banded config, wide banded config, gather fallback (r5)
         np.array([[31, 228], [571, 150], [728, 859], [132, 985]], np.int32),
+        np.array([[0, 400], [760, 0], [767, 600], [10, 1010]], np.int32),
         np.array([[10, 700], [1000, 10], [1020, 760], [3, 10]], np.int32),
     ]
     for q in quads:
