@@ -15,7 +15,7 @@ backend + geometry and falls back to the XLA formulation elsewhere:
 
 from .ccl import ccl_pallas_available, ccl_serpentine  # noqa: F401
 from .fast import (fast_pallas, fast_pallas_available,  # noqa: F401
-                   fast_pallas_compact)
+                   fast_pallas_compact, fast_pallas_lean)
 from .integral import integral_pallas, integral_pallas_available  # noqa: F401
 from .lbp import lbp_eval_scale, lbp_pad_for, lbp_pallas_available  # noqa: F401
 from .patches import extract_patches_batched, patches_pallas_available  # noqa: F401
@@ -32,6 +32,7 @@ __all__ = [
     "fast_pallas",
     "fast_pallas_available",
     "fast_pallas_compact",
+    "fast_pallas_lean",
     "fused_blur_hist",
     "fused_threshold_sobel",
     "integral_pallas",

@@ -32,7 +32,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .preproc import _halo_specs, _pad_blk, _pad_rows
 
-__all__ = ["fast_pallas", "fast_pallas_compact", "fast_pallas_available"]
+__all__ = ["fast_pallas", "fast_pallas_compact", "fast_pallas_lean",
+           "fast_pallas_available"]
 
 # The kernel keeps ~30 (blk+2, W) int32 intermediates live (16 circle
 # views, run counters, diffs), so its VMEM budget is much tighter than the
@@ -61,13 +62,17 @@ def _fast_block_body(thr_v, x_ref, top_ref, bot_ref, blk, wp, h, w):
     ext = blk + 2
     p = rows[3 : 3 + ext, :]
 
-    def view(k):
-        return rp[3 + _CDY[k] : 3 + _CDY[k] + ext, 3 + _CDX[k] : 3 + _CDX[k] + wp]
+    # factor the circle views' lane shifts: the 16 (dy, dx) slices share only
+    # 7 distinct dx, so slice the 7 lane-offset columns of rp ONCE and take
+    # row (sublane) views per circle point — 7 lane relayouts instead of 16
+    # (r5; the lane-misaligned slice is the expensive part, cf. kernels/lbp.py)
+    cols = {dx: rp[:, 3 + dx : 3 + dx + wp] for dx in sorted(set(_CDX))}
 
-    views = [view(k) for k in range(16)]
+    def view(k):
+        return cols[_CDX[k]][3 + _CDY[k] : 3 + _CDY[k] + ext, :]
+
     d = p - thr_v
-    bright = [v > p + thr_v for v in views]
-    dark = [(~b) & ((d < 0) | (v < d)) for v, b in zip(views, bright)]
+    pthr = p + thr_v
 
     # wrapped run-of-9 detection as bitmask shift-AND folding (r5): pack the
     # 16 polarity tests into one int32 lane mask, duplicate the first 9 bits
@@ -75,11 +80,20 @@ def _fast_block_body(thr_v, x_ref, top_ref, bot_ref, blk, wp, h, w):
     # then fold — bit i of m9 says samples i..i+8 all pass.  ~16 vector ops
     # replace the 25-step x ~7-op run sweep (the kernel's hottest chain).
     # Bits stay <= 24 so arithmetic >> never smears a sign bit.
+    # Each view is consumed the moment it is built (mask bit + |diff| min) so
+    # the live set stays ~8 block values instead of ~35 — the old form's
+    # intermediates spilled through VMEM and dominated the kernel's time.
     bb = jnp.zeros((ext, wp), jnp.int32)
     dd = jnp.zeros((ext, wp), jnp.int32)
+    min_diff = None
     for k in range(16):
-        bb = bb | (bright[k].astype(jnp.int32) << k)
-        dd = dd | (dark[k].astype(jnp.int32) << k)
+        v = view(k)
+        br = v > pthr
+        dk = (~br) & ((d < 0) | (v < d))
+        bb = bb | (br.astype(jnp.int32) << k)
+        dd = dd | (dk.astype(jnp.int32) << k)
+        ad = jnp.abs(v - p)
+        min_diff = ad if min_diff is None else jnp.minimum(min_diff, ad)
 
     def run9(m):
         x = m | ((m & 0x1FF) << 16)
@@ -90,10 +104,6 @@ def _fast_block_body(thr_v, x_ref, top_ref, bot_ref, blk, wp, h, w):
 
     corner = run9(bb) | run9(dd)
 
-    min_diff = jnp.abs(views[0] - p)
-    for v in views[1:]:
-        min_diff = jnp.minimum(min_diff, jnp.abs(v - p))
-
     y0 = j * blk
     yy = jax.lax.broadcasted_iota(jnp.int32, (ext, wp), 0) + (y0 - 1)
     xx = jax.lax.broadcasted_iota(jnp.int32, (ext, wp), 1)
@@ -101,13 +111,15 @@ def _fast_block_body(thr_v, x_ref, top_ref, bot_ref, blk, wp, h, w):
     s = jnp.where(corner & interior, min_diff, 0)
 
     sp = jnp.pad(s, ((0, 0), (1, 1)))
+    # same lane-shift factoring for the 3x3 NMS: 2 lane relayouts, row views
+    ncols = {dx: sp[:, 1 + dx : 1 + dx + wp] for dx in (-1, 0, 1)}
     smid = s[1 : 1 + blk]
     is_max = smid > 0
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             if dx == 0 and dy == 0:
                 continue
-            is_max &= ~(sp[1 + dy : 1 + dy + blk, 1 + dx : 1 + dx + wp] > smid)
+            is_max &= ~(ncols[dx][1 + dy : 1 + dy + blk, :] > smid)
 
     # fresh iotas at the output size — slicing a broadcast-layout iota
     # crashes this Mosaic version's layout pass
@@ -192,7 +204,8 @@ def _fold_compact(key, blk: int, wp: int):
     return a, jnp.concatenate(res, axis=0), lost
 
 
-def _fast_call(imgs, threshold, interpret: bool, compact: bool):
+def _fast_call(imgs, threshold, interpret: bool, compact: bool,
+               lean: bool = False):
     n, h, w = imgs.shape
     blk, hp = _pad_blk(h, w, 1, budget=_VMEM_BUDGET)
     wp = -(-w // 128) * 128
@@ -202,14 +215,18 @@ def _fast_call(imgs, threshold, interpret: bool, compact: bool):
     nb = hp // blk
     top_spec, bot_spec = _halo_specs(blk, hp, wp)
 
-    def kernel(t_ref, x_ref, top_ref, bot_ref, score_ref, key_ref,
-               *compact_refs):
+    def kernel(t_ref, *refs):
+        x_ref, top_ref, bot_ref = refs[:3]
         smid, key = _fast_block_body(t_ref[0], x_ref, top_ref, bot_ref,
                                      blk, wp, h, w)
-        score_ref[0] = smid.astype(jnp.uint8)
-        key_ref[0] = key
+        outs = refs[3:]
+        if not lean:
+            score_ref, key_ref = outs[:2]
+            score_ref[0] = smid.astype(jnp.uint8)
+            key_ref[0] = key
+            outs = outs[2:]
         if compact:
-            red_ref, lost_ref = compact_refs
+            red_ref, lost_ref = outs
             a, res, lost = _fold_compact(key, blk, wp)
             # two slice stores, not a concat: the fold chain leaves ``a``
             # with a sublane offset Mosaic's concatenate can't merge with
@@ -221,11 +238,14 @@ def _fast_call(imgs, threshold, interpret: bool, compact: bool):
 
     blk_spec = pl.BlockSpec((1, blk, wp), lambda i, j: (i, j, 0),
                             memory_space=pltpu.VMEM)
-    out_specs = [blk_spec, blk_spec]
-    out_shape = [
-        jax.ShapeDtypeStruct((n, hp, wp), jnp.uint8),
-        jax.ShapeDtypeStruct((n, hp, wp), jnp.int32),
-    ]
+    out_specs = []
+    out_shape = []
+    if not lean:
+        out_specs += [blk_spec, blk_spec]
+        out_shape += [
+            jax.ShapeDtypeStruct((n, hp, wp), jnp.uint8),
+            jax.ShapeDtypeStruct((n, hp, wp), jnp.int32),
+        ]
     if compact:
         rr = 8 * (1 + _FOLD_K)  # folded + residual rows per strip
         out_specs += [
@@ -251,6 +271,8 @@ def _fast_call(imgs, threshold, interpret: bool, compact: bool):
         out_shape=out_shape,
         interpret=interpret,
     )(thr.reshape(1), x, x, x)
+    if lean:
+        return outs[0], outs[1]
     score, key = outs[0][:, :h, :w], outs[1][:, :h, :w]
     if compact:
         return score, key, outs[2], outs[3]
@@ -280,6 +302,22 @@ def fast_pallas_compact(imgs: jnp.ndarray, threshold, interpret: bool = False):
     to the full map otherwise.
     """
     return _fast_call(imgs, threshold, interpret, compact=True)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fast_pallas_lean(imgs: jnp.ndarray, threshold, interpret: bool = False):
+    """Fold-compacted keys ONLY: ``(red, lost)`` with no full-frame outputs.
+
+    The ablation profile (exp/results_fast_ablate_r5.json) showed the
+    full-frame score (u8) and key (i32) map writes cost as much as the whole
+    circle compute; the batched ORB path discards the score map and reads
+    the key map only when a fold reported loss.  This variant skips both
+    writes — callers must re-run :func:`fast_pallas` inside the (rare)
+    ``lost > 0`` fallback branch, which stays cheaper in expectation because
+    fold losses need ~5%+ survivor density (dense noise), never natural
+    frames (see ``_fold_compact``).
+    """
+    return _fast_call(imgs, threshold, interpret, compact=True, lean=True)
 
 
 def fast_pallas_available(h: int, w: int) -> bool:

@@ -232,22 +232,44 @@ def _emit_compact_gated(key3, red3, lost, k_out: int):
 
 
 def _fast_batched_tpu(imgs: jnp.ndarray, cap: int, threshold):
-    """Batched FAST tables via the fused kernel + compacted adaptive-k
+    """Batched FAST tables via the LEAN fused kernel + compacted adaptive-k
     emission.
 
-    Callers gate on ``_on_tpu() and fast_pallas_available(h, w)`` (which
-    implies the packed-key regime ``h*w < 2^23``)."""
-    from ..kernels.fast import fast_pallas_compact
+    The lean kernel writes only the folded key strips (no full-frame score
+    or key maps — the r5 ablation measured those writes at ~half the kernel,
+    exp/results_fast_ablate_r5.json); the bit-exactness fallback for fold
+    losses re-runs the full kernel INSIDE the rare ``lost > 0`` cond branch,
+    so natural frames never pay for it.  Callers gate on ``_on_tpu() and
+    fast_pallas_available(h, w)`` (which implies ``h*w < 2^23``)."""
+    from ..kernels.fast import fast_pallas, fast_pallas_lean
 
-    _, h, w = imgs.shape
+    B, h, w = imgs.shape
     threshold = jnp.maximum(jnp.asarray(threshold, jnp.int32), 0)
-    score3, key3, red3, lost = fast_pallas_compact(imgs, threshold)
-    k_out = min(cap, h * w)
-    vals = _emit_compact_gated(key3, red3, lost, k_out)
-    if cap > h * w:
-        vals = jnp.pad(vals, ((0, 0), (0, cap - h * w)))
+    red3, lost = fast_pallas_lean(imgs, threshold)
+    L = h * w
+    Lr = red3.shape[1] * red3.shape[2]
+    k_out = min(cap, L)
+    k_red = min(k_out, Lr)
+
+    def emit_red():
+        v = _emit_packed_batched(red3.reshape(B, Lr), k_red)
+        if k_out > k_red:
+            # gate passed => survivor count <= Lr, so zero-padding is exact
+            v = jnp.pad(v, ((0, 0), (0, k_out - k_red)))
+        return v
+
+    def emit_full():
+        _, key3 = fast_pallas(imgs, threshold)
+        return _emit_packed_batched(key3.reshape(B, L), k_out)
+
+    if Lr >= L:  # tiny frames: the fold floor (16 rows/strip) saves nothing
+        vals = emit_full()
+    else:
+        vals = jax.lax.cond(jnp.sum(lost) == 0, emit_red, emit_full)
+    if cap > L:
+        vals = jnp.pad(vals, ((0, 0), (0, cap - L)))
     n, tx, ty, tr = _fast_table_from_vals(vals, h, w)
-    return n, tx, ty, tr, score3
+    return n, tx, ty, tr
 
 
 @functools.partial(jax.jit, static_argnames=("max_kps",))
@@ -745,7 +767,7 @@ def _orb_select_batched_tpu(imgs, cap: int, threshold, limit=None):
     B, h, w = imgs.shape
     cand_cap = min(cap * 4, 5000)
     radius = 15
-    n_cand, tx, ty, tr, _ = _fast_batched_tpu(imgs, cand_cap, threshold)
+    n_cand, tx, ty, tr = _fast_batched_tpu(imgs, cand_cap, threshold)
     if limit is not None:
         lims = jnp.broadcast_to(jnp.asarray(limit, jnp.int32), (B,))
         n_cand = jnp.minimum(n_cand, jnp.minimum(lims * 4, 5000))

@@ -459,6 +459,7 @@ def test_patches_kernel_interpret_edge_keypoints():
         np.testing.assert_array_equal(got[i], ref, err_msg=f"frame {i}")
 
 
+
 def test_emit_packed_batched_matches_topk(rng):
     """_emit_packed_batched (the adaptive-k TPU emission) is pure XLA but the
     _on_tpu gate keeps the CPU suite off it — exercise every branch of its
@@ -541,3 +542,59 @@ def test_fast_compact_fold_invariants(testdata, rng):
     _, _, _, lost = fast_pallas_compact(
         jnp.asarray(np.asarray(testdata["aruco"]))[None], 10, interpret=True)
     assert int(np.asarray(lost).sum()) == 0, "aruco must not fall back"
+
+
+def test_fast_lean_batched_path_interpret(testdata, rng):
+    """The r5 lean kernel (fast_pallas_lean: folded keys only, no full-frame
+    outputs) must agree with fast_pallas_compact's fold, and the batched ORB
+    emission built on it (_fast_batched_tpu's cond: red when loss-free, full
+    kernel re-run otherwise) must reproduce the XLA fast() tables on both a
+    loss-free frame (aruco) and a fold-lossy one (noise)."""
+    import jax
+    import jax.numpy as jnp
+
+    from grayskull_tpu.kernels.fast import (fast_pallas, fast_pallas_compact,
+                                            fast_pallas_lean)
+    from grayskull_tpu.ops.features import (_emit_packed_batched,
+                                            _fast_table_from_vals, fast)
+
+    aruco = np.asarray(testdata["aruco"])
+    noise = rng.integers(0, 256, aruco.shape, dtype=np.uint8)
+    cap = 500
+    for img, name in ((aruco, "aruco"), (noise, "noise")):
+        h, w = img.shape
+        b = jnp.asarray(img)[None]
+        red_l, lost_l = fast_pallas_lean(b, 10, interpret=True)
+        _, key_c, red_c, lost_c = fast_pallas_compact(b, 10, interpret=True)
+        np.testing.assert_array_equal(np.asarray(red_l), np.asarray(red_c),
+                                      err_msg=name)
+        np.testing.assert_array_equal(np.asarray(lost_l), np.asarray(lost_c),
+                                      err_msg=name)
+        # emulate _fast_batched_tpu's gating with interpret-mode kernels
+        B, L = 1, h * w
+        Lr = red_l.shape[1] * red_l.shape[2]
+        k_out = min(cap, L)
+        k_red = min(k_out, Lr)
+
+        def emit_red():
+            v = _emit_packed_batched(red_l.reshape(B, Lr), k_red)
+            if k_out > k_red:
+                v = jnp.pad(v, ((0, 0), (0, k_out - k_red)))
+            return v
+
+        def emit_full():
+            _, key3 = fast_pallas(b, 10, interpret=True)
+            return _emit_packed_batched(key3.reshape(B, L), k_out)
+
+        vals = jax.lax.cond(jnp.sum(lost_l) == 0, emit_red, emit_full)
+        n, tx, ty, tr = _fast_table_from_vals(vals, h, w)
+        kps, _ = fast(jnp.asarray(img), cap, 10)
+        nk = int(np.asarray(kps.n))
+        assert int(np.asarray(n)[0]) == nk, name
+        np.testing.assert_array_equal(np.asarray(tx)[0, :nk],
+                                      np.asarray(kps.x)[:nk], err_msg=name)
+        np.testing.assert_array_equal(np.asarray(ty)[0, :nk],
+                                      np.asarray(kps.y)[:nk], err_msg=name)
+        np.testing.assert_array_equal(np.asarray(tr)[0, :nk],
+                                      np.asarray(kps.response)[:nk],
+                                      err_msg=name)
