@@ -75,6 +75,15 @@ _VMEM_BLOCK_BYTES = 11 * 1024 * 1024  # working-set budget (scoped limit 16M)
 # this accounting; the observed pass predicted 9.9 MB)
 _VMEM_BLOCK_BYTES_STEPN = 9_000_000
 
+# strip-config preference ladders for _padded_dims, ordered by measured
+# throughput (see the comment block in _padded_dims).  Module-scope so
+# hardware experiments can override + re-pick (exp/exp_lbp_tail_r5.py);
+# _padded_dims is lru_cached — call _padded_dims.cache_clear() after
+# changing these.
+_CANDIDATES = ((48, 3), (32, 1), (32, 2), (32, 3), (32, 4), (16, 1),
+               (16, 2), (16, 3), (8, 1), (8, 2))
+_CANDIDATES_STEPN = _CANDIDATES[1:]
+
 
 def _round(v: int, m: int) -> int:
     return (v + m - 1) // m * m
@@ -355,15 +364,15 @@ def _padded_dims(cascade, scale: float, ny: int, nx: int, step: int):
     # split-2 at scale 1/step 1 (exp_lbp_split --tall; th=48 split-2 and all
     # th>=64 variants either overflow scoped VMEM or lose to map-rebuild
     # costs), so it leads the ladder; configs it doesn't fit fall back to
-    # the validated 32/16/8 family
-    candidates = ((48, 3), (32, 1), (32, 2), (32, 3), (32, 4), (16, 1),
-                  (16, 2), (16, 3), (8, 1), (8, 2))
+    # the validated 32/16/8 family (see _CANDIDATES at module scope —
+    # experiments override it to A/B new configs, exp/exp_lbp_tail_r5.py)
+    candidates = _CANDIDATES
     if step > 1:
         # th=48 was hardware-validated only on the step-1 scale ladder, and
         # _vmem_estimate is known to under-predict tall step>1 configs by
         # ~1.6x (a th=48 x4 neighbor OOM'd at a predicted 10.91 MB) — keep
         # step>1 on the 32/16/8 family whose accounting was validated.
-        candidates = candidates[1:]
+        candidates = _CANDIDATES_STEPN
     best = None
     for th, nchunks in candidates:
         fits, best = build(th, nchunks)
