@@ -48,7 +48,7 @@ def patches_pallas_available(h: int, w: int) -> bool:
     return w >= 128 and hp * wp * 2 <= 4 * 1024 * 1024
 
 
-def _patch_kernel(ry_ref, rx_ref, oy_ref, ox_ref, img_ref, out_ref, *, nkb: int):
+def _patch_kernel(pk_ref, img_ref, out_ref, *, nkb: int):
     i = pl.program_id(0)
     j = pl.program_id(1)
     base = (i * nkb + j) * KP_BLK
@@ -59,10 +59,17 @@ def _patch_kernel(ry_ref, rx_ref, oy_ref, ox_ref, img_ref, out_ref, *, nkb: int)
     p_col = jax.lax.broadcasted_iota(jnp.int32, (_WIN_W, _P), 1)
 
     def body(k, _):
-        ry = pl.multiple_of(ry_ref[base + k], 16)
-        rx = pl.multiple_of(rx_ref[base + k], 128)
-        oy = oy_ref[base + k]  # in [0, 16): patch row r = window row oy + r
-        ox = ox_ref[base + k]  # in [0, 128)
+        # one packed (ys << 15 | xs) scalar per keypoint: four separate
+        # prefetch arrays hit the 1 MB SMEM capacity at batch 128 x 500 kps
+        # (measured compile OOM, exp_orb_scale_r5) — SMEM scalar shifts are
+        # free next to the two MXU selects below
+        pk = pk_ref[base + k]
+        ys = pk >> 15
+        xs = pk & 0x7FFF
+        ry = pl.multiple_of((ys >> 4) << 4, 16)
+        rx = pl.multiple_of((xs >> 7) << 7, 128)
+        oy = ys & 15   # in [0, 16): patch row r = window row oy + r
+        ox = xs & 127  # in [0, 128)
         win = img_ref[0, pl.ds(ry, _WIN_H), pl.ds(rx, _WIN_W)]  # (64, 256) i16
         winf = win.astype(jnp.int32).astype(jnp.bfloat16)
         oh_r = (r_iota == oy + p_row).astype(jnp.bfloat16)  # (P, WIN_H)
@@ -82,16 +89,16 @@ def _patch_kernel(ry_ref, rx_ref, oy_ref, ox_ref, img_ref, out_ref, *, nkb: int)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _extract_pallas(imgp, ry, rx, oy, ox, interpret: bool = False):
+def _extract_pallas(imgp, packed, interpret: bool = False):
     n = imgp.shape[0]
-    nk = ry.shape[0] // n
+    nk = packed.shape[0] // n
     nkb = nk // KP_BLK
     hp, wp = imgp.shape[1:]
     coordless = pl.BlockSpec((1, KP_BLK, _P, _P),
                              lambda i, j, *refs: (i, j, 0, 0),
                              memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,  # ry, rx, oy, ox
+        num_scalar_prefetch=1,  # packed (ys << 15 | xs) per keypoint
         grid=(n, nkb),
         in_specs=[
             pl.BlockSpec((1, hp, wp), lambda i, j, *refs: (i, 0, 0),
@@ -104,7 +111,7 @@ def _extract_pallas(imgp, ry, rx, oy, ox, interpret: bool = False):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, nk, _P, _P), jnp.uint8),
         interpret=interpret,
-    )(ry, rx, oy, ox, imgp)
+    )(packed, imgp)
 
 
 def extract_patches_batched(imgs, x, y, interpret: bool = False):
@@ -126,14 +133,9 @@ def extract_patches_batched(imgs, x, y, interpret: bool = False):
 
     ys = prep(y, h + _PAD)  # start row in padded frame = y - 20 + PAD = y
     xs = prep(x, w + _PAD)
-    ry = (ys // 16) * 16
-    rx = (xs // 128) * 128
-    ry = jnp.clip(ry, 0, hp - _WIN_H)
-    rx = jnp.clip(rx, 0, wp - _WIN_W)
-    oy = ys - ry
-    ox = xs - rx
-    out = _extract_pallas(
-        imgp, ry.reshape(-1), rx.reshape(-1), oy.reshape(-1), ox.reshape(-1),
-        interpret=interpret,
-    )
+    # ry = (ys >> 4) << 4 <= ys <= h + 20 <= hp - _WIN_H (and same for rx),
+    # so the aligned window always fits without a clip; 15-bit fields are
+    # enough because patches_pallas_available caps hp * wp * 2 at 4 MB
+    packed = (ys << 15) | xs
+    out = _extract_pallas(imgp, packed.reshape(-1), interpret=interpret)
     return out[:, :nk]

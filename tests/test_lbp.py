@@ -208,6 +208,7 @@ def test_strip_geometry_plan():
     th=8 shipping shape."""
     from grayskull_tpu.kernels.lbp import (_VMEM_BLOCK_BYTES,
                                            _VMEM_BLOCK_BYTES_STEPN,
+                                           _VMEM_BLOCK_BYTES_T48_MULTI,
                                            _padded_dims, _stage_chunks,
                                            _vmem_estimate)
     from grayskull_tpu.ops.lbp import _grid_plan
@@ -218,21 +219,36 @@ def test_strip_geometry_plan():
             tw, th, chunks, nty, ntx, Hp, Wp, fits = _padded_dims(
                 cas, scale, ny, nx, step)
             if step == 1:
-                # r4 ladder: th=48 split-3 leads (281 vs 259 M win/s); every
-                # step-1 scale must still hold at least the r3 th=32 strips
-                assert th in (48, 32) and fits, (scale, th, fits)
+                # r5 ladder: every step-1 640x480 scale holds th=48 strips
+                # (3-5 chunks; 242 vs 226 M win/s e2e, exp_lbp_tail2_r5)
+                assert th == 48 and fits, (scale, th, fits)
             if step == 4:
                 assert th == 8, (scale, th)
             # chained chunks must cover all 20 stages exactly once, in order
             covered = [s for _, stages in chunks for s in stages]
             assert covered == list(range(cas.nstages))
             if fits:
-                budget = (_VMEM_BLOCK_BYTES_STEPN if (step > 1 and th > 8)
-                          else _VMEM_BLOCK_BYTES)
+                if step > 1 and th > 8:
+                    budget = _VMEM_BLOCK_BYTES_STEPN
+                elif th >= 48 and len(chunks) >= 4:
+                    # hardware-calibrated boundary: a 10.91 MB prediction
+                    # OOM'd at a real 17.30 MB; <= 10.28 MB all compiled
+                    budget = _VMEM_BLOCK_BYTES_T48_MULTI
+                else:
+                    budget = _VMEM_BLOCK_BYTES
                 for (geo, _), (_, _, k_lo, k_hi) in zip(
                         chunks, _stage_chunks(cas, len(chunks))):
                     est = _vmem_estimate(geo, th, tw, step, Hp, Wp, k_hi - k_lo)
                     assert est <= budget, (step, scale, est, budget)
+    # the r5 tall-tail picks for the bench geometry, pinned exactly
+    # (exp/results_lbp_tail_r5.json hardware-validated each)
+    picks = {}
+    for scale, _, _, ny, nx in _grid_plan(cas, 480, 640, 1.2, 1.0, 4.0, 1):
+        _, th, chunks, *_ = _padded_dims(cas, scale, ny, nx, 1)
+        picks[round(scale, 3)] = (th, len(chunks))
+    assert picks == {1.0: (48, 3), 1.2: (48, 3), 1.44: (48, 3),
+                     1.728: (48, 4), 2.074: (48, 4), 2.488: (48, 4),
+                     2.986: (48, 4), 3.583: (48, 5)}, picks
 
 
 def test_warm_start_compiles_detect_path(oracle, testdata):
