@@ -32,6 +32,13 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["extract_patches_batched", "patches_pallas_available"]
 
 KP_BLK = 64   # keypoints per grid step
+# full unroll measured 2.2x the rolled loop (11.62 -> 5.21 ms for 32k
+# patches, bit-exact — exp/results_orb_tune2_r5.json): each iteration is
+# two tiny MXU ops at ~5% utilization and Mosaic only pipelines the window
+# slice + selects across iterations when the loop is unrolled.  Mosaic's
+# fori_loop supports exactly unroll=1 or unroll=num_steps; 64 x ~20 ops is
+# well under the ~5k-op compile-time blowup threshold.
+KP_UNROLL = KP_BLK
 _WIN_H = 64   # aligned window rows (>= 15 misalign + 48)
 _WIN_W = 256  # aligned window cols (>= 127 misalign + 48)
 _P = 48       # patch size (ops.features._BRIEF_PATCH)
@@ -85,7 +92,7 @@ def _patch_kernel(pk_ref, img_ref, out_ref, *, nkb: int):
         out_ref[0, k] = patch.astype(jnp.int32).astype(jnp.uint8)  # no f32->u8
         return 0
 
-    jax.lax.fori_loop(0, KP_BLK, body, 0, unroll=False)
+    jax.lax.fori_loop(0, KP_BLK, body, 0, unroll=KP_UNROLL)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
